@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Evaluate the change-detection model: full-dataset metrics + visualizations,
+or single-pair mode.
+
+CLI contract identical to the reference evaluate.py:358-362:
+  python evaluate.py [--image1-path P --image2-path P --city-name N
+                      [--label-path P]]
+plus flags for previously hardcoded constants (evaluate.py:15-28), same
+defaults.
+"""
+
+import argparse
+
+from gan_aug_pfa_tpu.config import (
+    DATASET_SUBDIR_DEFAULT,
+    DataConfig,
+    EvalConfig,
+    parse_target_size,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Evaluate Change Detection Model")
+    p.add_argument("--image1-path", type=str,
+                   help="Path to the first image (before change)")
+    p.add_argument("--image2-path", type=str,
+                   help="Path to the second image (after change)")
+    p.add_argument("--label-path", type=str, default=None,
+                   help="Optional path to the ground truth change mask")
+    p.add_argument("--city-name", type=str,
+                   help="Name of the city/area for identification in output")
+    p.add_argument("--root-dir", type=str, default=".")
+    p.add_argument("--dataset-subdir", type=str,
+                   default=DATASET_SUBDIR_DEFAULT)
+    p.add_argument("--checkpoint-path", type=str, default=None,
+                   help="Model checkpoint (default "
+                        "<root>/siamese_checkpoints/best_model.msgpack)")
+    p.add_argument("--output-dir", type=str, default="evaluation_results")
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--target-size", type=str, default="128x128",
+                   help="Must match the size used for training")
+    p.add_argument("--num-visualizations", type=int, default=5)
+    return p
+
+
+def main() -> None:
+    args = build_parser().parse_args()
+    target_size = parse_target_size(args.target_size)
+    data_cfg = DataConfig(
+        root_dir=args.root_dir,
+        dataset_subdir=args.dataset_subdir,
+        target_size=target_size,
+    )
+    eval_cfg = EvalConfig(
+        batch_size=args.batch_size,
+        target_size=target_size,
+        checkpoint_path=args.checkpoint_path,
+        output_dir=args.output_dir,
+        num_visualizations=args.num_visualizations,
+    )
+    from gan_aug_pfa_tpu import pipelines
+
+    if args.image1_path and args.image2_path and args.city_name:
+        print(f"Evaluating single image pair for city: {args.city_name}")
+        pipelines.evaluate_single_pair(
+            data_cfg, eval_cfg, args.image1_path, args.image2_path,
+            args.city_name, label_path=args.label_path,
+        )
+        return
+    pipelines.run_evaluation(data_cfg, eval_cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Checkpointing with the reference's file-naming contract + resume.
+
+The reference saves bare ``model.state_dict()`` as ``best_model.pth`` /
+``model_epoch_N.pth`` / ``generator_epoch_N.pth`` / ``discriminator_epoch_N
+.pth`` and cannot resume training (optimizer/epoch state is never saved;
+SURVEY.md §5.3-5.4).  Here:
+
+  * same base names, ``.msgpack`` extension (Flax serialization format);
+  * checkpoints carry params + batch_stats + opt_state + step so training
+    CAN resume (an improvement over the reference, flagged as such);
+  * model-only restore works for inference (extra keys ignored);
+  * writes are atomic (tmp file + rename) so an interrupted save never
+    corrupts the previous checkpoint — the failure-tolerance analog of the
+    reference's try/except around torch.save (train.py:310-321).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+from flax import serialization
+
+
+def _to_state_dict(state) -> Dict[str, Any]:
+    d = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    return d
+
+
+def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None
+                    ) -> None:
+    """Serialize a TrainState (params/batch_stats/opt_state/step) + extras."""
+    payload = _to_state_dict(state)
+    if extra:
+        payload["extra"] = extra
+    data = serialization.to_bytes(payload)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def restore_checkpoint(path: str, state, with_extra: bool = False):
+    """Restore into a template TrainState (built by the trainer's
+    init_state). Returns the restored state (and extras if requested)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    template = _to_state_dict(state)
+    template["extra"] = {}
+    restored = serialization.from_bytes(template, data)
+    new_state = state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+    if with_extra:
+        return new_state, restored.get("extra", {})
+    return new_state
+
+
+def restore_model_only(path: str, variables: Dict[str, Any]
+                       ) -> Dict[str, Any]:
+    """Restore just {params, batch_stats} into a model-variables template —
+    the inference-load path (reference evaluate.py:345,
+    generate_synthetic_data.py:48)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    template = {
+        "params": variables["params"],
+        "batch_stats": variables["batch_stats"],
+    }
+    # Tolerate full train-state checkpoints: deserialize leniently by
+    # matching only the keys we need.
+    payload = serialization.msgpack_restore(data)
+    out = {}
+    for key in ("params", "batch_stats"):
+        out[key] = serialization.from_state_dict(template[key], payload[key])
+    return out
+
+
+def checkpoint_name(base: str) -> str:
+    """Map the reference's .pth naming to ours (same stems)."""
+    return base + ".msgpack"
+
+
+def find_checkpoint(directory: str, stem: str) -> Optional[str]:
+    """Locate ``<stem>.msgpack`` in a directory, None if absent."""
+    p = os.path.join(directory, checkpoint_name(stem))
+    return p if os.path.exists(p) else None

@@ -1,0 +1,122 @@
+"""Configuration dataclasses for the framework.
+
+The reference scatters configuration between module-level constants and
+argparse (reference train.py:19-31, train_gan.py:17-35, evaluate.py:15-28,
+generate_synthetic_data.py:13-24).  Here everything lives in typed dataclasses
+with the same defaults; the CLI layer (cli.py) maps the reference's exact flag
+names onto these.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# The OSCD city list and validation split, matching reference dataset.py:299-301.
+ALL_CITIES = [
+    "abudhabi", "aguasclaras", "beihai", "beirut", "bercy", "bordeaux",
+    "cupertino", "hongkong", "mumbai", "nantes", "paris", "pisa", "rennes",
+    "saclay_e",
+]
+VAL_CITIES = ["pisa", "rennes", "saclay_e"]
+TRAIN_CITIES = [c for c in ALL_CITIES if c not in VAL_CITIES]
+
+# Nested OSCD directory names (reference dataset.py:302-304).
+DATASET_SUBDIR_DEFAULT = "Onera Satellite Change Detection Dataset"
+IMAGES_SUBTREE = ("images", "Onera Satellite Change Detection dataset - Images")
+LABELS_SUBTREE = (
+    "train_labels",
+    "Onera Satellite Change Detection dataset - Train Labels",
+)
+SYNTHETIC_DATA_DIR_DEFAULT = "synthetic_data"
+
+
+@dataclasses.dataclass
+class DataConfig:
+    root_dir: str = "."
+    dataset_subdir: str = DATASET_SUBDIR_DEFAULT
+    synthetic_data_dir: str = SYNTHETIC_DATA_DIR_DEFAULT
+    target_size: Tuple[int, int] = (128, 128)
+    use_synthetic: bool = False
+    augment: bool = False
+
+
+@dataclasses.dataclass
+class SiameseTrainConfig:
+    """Defaults mirror reference train.py:24-31, 294-296, 330-336."""
+
+    batch_size: int = 4
+    num_epochs: int = 50
+    learning_rate: float = 0.00010152447097322304
+    weight_decay: float = 1.1180726948943663e-05
+    # Frozen tuned FocalDiceLoss constants (reference train.py:294).
+    focal_alpha: float = 0.6030489822904476
+    focal_gamma: float = 1.7930869982898021
+    loss_beta: float = 0.6699803915247974
+    dice_smooth: float = 1.956571276926647e-06
+    optimizer: str = "adamw"
+    checkpoint_dir: str = "siamese_checkpoints"
+    save_every: int = 5
+    # ReduceLROnPlateau (reference train.py:296).
+    plateau_factor: float = 0.2
+    plateau_patience: int = 7
+    n_channels: int = 3
+    n_classes: int = 1
+    seed: int = 0
+    # TPU-specific knobs (not in the reference):
+    compute_dtype: str = "bfloat16"  # MXU-friendly; params stay fp32
+    data_parallel: bool = True
+    resume: bool = False  # resume-from-checkpoint (reference lacks this)
+
+
+@dataclasses.dataclass
+class GANTrainConfig:
+    """Defaults mirror reference train_gan.py:26-35."""
+
+    batch_size: int = 1
+    num_epochs: int = 200
+    learning_rate_g: float = 1e-4
+    learning_rate_d: float = 1e-4
+    beta1: float = 0.5
+    lambda_l1: float = 100.0
+    target_size: Tuple[int, int] = (256, 256)
+    save_every: int = 10
+    sample_every: int = 5
+    checkpoint_dir: str = "gan_checkpoints"
+    output_dir: str = "gan_samples"
+    n_channels: int = 3
+    seed: int = 0
+    compute_dtype: str = "bfloat16"
+    data_parallel: bool = True
+    resume: bool = False
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    """Defaults mirror reference evaluate.py:15-28."""
+
+    batch_size: int = 2
+    target_size: Tuple[int, int] = (128, 128)
+    checkpoint_path: Optional[str] = None
+    output_dir: str = "evaluation_results"
+    num_visualizations: int = 5
+    n_channels: int = 3
+    n_classes: int = 1
+
+
+@dataclasses.dataclass
+class GenerateConfig:
+    """Defaults mirror reference generate_synthetic_data.py:13-24."""
+
+    batch_size: int = 4
+    target_size: Tuple[int, int] = (256, 256)
+    generator_checkpoint_name: str = "generator_epoch_200.msgpack"
+    gan_checkpoint_dir: str = "gan_checkpoints"
+    synthetic_data_dir: str = SYNTHETIC_DATA_DIR_DEFAULT
+    n_channels: int = 3
+
+
+def parse_target_size(value: str) -> Tuple[int, int]:
+    """Parse "HxW" target-size strings (reference train.py:263)."""
+    h, w = map(int, value.split("x"))
+    return (h, w)

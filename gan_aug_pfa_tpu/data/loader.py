@@ -1,0 +1,157 @@
+"""Host-side decode + one-time resize, producing HBM-resident cached datasets.
+
+The reference's hot host loop re-decodes PNGs and re-runs a PIL transform
+chain in DataLoader workers on every epoch (reference dataset.py:218-237,
+SURVEY.md section 3 "hot loops").  TPU-first redesign: decode each PNG exactly
+once at startup, resize to the target size on the host with the reference's
+exact numerics (bilinear align_corners=False for images after /255, legacy
+nearest for binarized labels — see ops/resize.py), stack into dense arrays,
+and push to device HBM once.  Every subsequent step reads from HBM; the
+per-step gather + augmentation is fused into the compiled train step
+(data/transforms.py), so the host never touches pixels after startup.
+
+Deterministic-path parity: for augment=False datasets (validation, GAN
+training, synthetic generation, evaluation — the reference's own defaults)
+the cached arrays are numerically the reference pipeline's output up to the
+final [-1,1] normalize, which is applied on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from .scanner import Sample
+
+
+def _resize_bilinear_np(x: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Bilinear align_corners=False resize on host (float32 HWC)."""
+
+    def coeffs(in_size, out_size):
+        scale = in_size / out_size
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+        src = np.clip(src, 0, in_size - 1)
+        lo = np.floor(src).astype(np.int64)
+        hi = np.minimum(lo + 1, in_size - 1)
+        w = (src - lo).astype(np.float32)
+        return lo, hi, w
+
+    for axis, out_size in ((0, size[0]), (1, size[1])):
+        if x.shape[axis] == out_size:
+            continue
+        lo, hi, w = coeffs(x.shape[axis], out_size)
+        x_lo = np.take(x, lo, axis=axis)
+        x_hi = np.take(x, hi, axis=axis)
+        shape = [1, 1, 1]
+        shape[axis] = out_size
+        wb = w.reshape(shape)
+        x = x_lo * (1 - wb) + x_hi * wb
+    return x
+
+
+def _resize_nearest_np(x: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Legacy-nearest resize on host (HW arrays)."""
+    for axis, out_size in ((0, size[0]), (1, size[1])):
+        if x.shape[axis] == out_size:
+            continue
+        idx = np.floor(
+            np.arange(out_size, dtype=np.float64) * x.shape[axis] / out_size
+        ).astype(np.int64)
+        idx = np.minimum(idx, x.shape[axis] - 1)
+        x = np.take(x, idx, axis=axis)
+    return x
+
+
+def load_sample_arrays(
+    sample: Sample, target_size: Tuple[int, int]
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Decode one triplet and resize to target size with reference numerics.
+
+    Returns (img1, img2, label): float32 HWC in [0,1] for images, int32 HW in
+    {0,1} for the label (binarized at >128 before the nearest resize, matching
+    reference dataset.py:31-33 then 146).
+    """
+    with Image.open(sample.img1) as im:
+        img1 = np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
+    with Image.open(sample.img2) as im:
+        img2 = np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
+    img1 = _resize_bilinear_np(img1, target_size)
+    img2 = _resize_bilinear_np(img2, target_size)
+    label = None
+    if sample.label is not None:
+        with Image.open(sample.label) as im:
+            label_np = np.asarray(im.convert("L"))
+        label = (label_np > 128).astype(np.int32)
+        label = _resize_nearest_np(label, target_size)
+    return img1, img2, label
+
+
+@dataclasses.dataclass
+class CachedDataset:
+    """A fully decoded, fixed-size dataset ready to be placed in HBM.
+
+    images are float32 in [0,1]; the [-1,1] normalize (reference
+    dataset.py:155-159) happens on device in the pipeline/augment stage.
+    """
+
+    img1: np.ndarray  # (N, H, W, 3) float32 in [0, 1]
+    img2: np.ndarray  # (N, H, W, 3) float32 in [0, 1]
+    labels: Optional[np.ndarray]  # (N, H, W) int32 in {0, 1}, or None
+    cities: List[str]
+
+    def __len__(self) -> int:
+        return self.img1.shape[0]
+
+    @property
+    def target_size(self) -> Tuple[int, int]:
+        return self.img1.shape[1], self.img1.shape[2]
+
+
+def build_cached_dataset(
+    samples: List[Sample], target_size: Tuple[int, int], verbose: bool = True
+) -> CachedDataset:
+    """Decode + resize every sample once; skip unreadable ones with a warning
+    (the reference's None-sample skipping, dataset.py:235-237, happens at
+    build time here since the cache is static)."""
+    img1s, img2s, labels, cities = [], [], [], []
+    has_labels = all(s.label is not None for s in samples)
+    for s in samples:
+        try:
+            i1, i2, lb = load_sample_arrays(s, target_size)
+        except Exception as e:  # noqa: BLE001 — parity with reference skip
+            print(f"Failed to load sample for city {s.city}: {e}. Skipping.")
+            continue
+        img1s.append(i1)
+        img2s.append(i2)
+        if has_labels:
+            labels.append(lb)
+        cities.append(s.city)
+    if not img1s:
+        return CachedDataset(
+            np.zeros((0, *target_size, 3), np.float32),
+            np.zeros((0, *target_size, 3), np.float32),
+            np.zeros((0, *target_size), np.int32) if has_labels else None,
+            [],
+        )
+    ds = CachedDataset(
+        np.stack(img1s),
+        np.stack(img2s),
+        np.stack(labels) if has_labels else None,
+        cities,
+    )
+    if verbose:
+        print(
+            f"Cached {len(ds)} samples at {target_size[0]}x{target_size[1]} "
+            f"({ds.img1.nbytes * 2 / 1e6:.1f} MB of image data)."
+        )
+    return ds
+
+
+def float_to_uint8(x: np.ndarray) -> np.ndarray:
+    """float [0,1] -> uint8 with truncation, matching torchvision
+    ``to_pil_image``'s ``mul(255).byte()`` (used for bit-comparable PNG
+    outputs; reference generate_synthetic_data.py:83-85)."""
+    return (np.clip(x, 0.0, 1.0) * 255.0).astype(np.uint8)

@@ -1,0 +1,328 @@
+"""Device-side joint augmentation: the reference's 9 Joint* transforms as
+pure, jittable JAX ops (reference dataset.py:21-193).
+
+The reference runs this chain on the host in PIL, per sample, per epoch — its
+measured bottleneck (SURVEY.md §3).  Here the whole chain is a pure function
+of (rng, sample) that is vmapped over the batch and fused INTO the compiled
+train step, so augmentation runs on the TPU's VPU concurrently with training
+and costs ~nothing extra in wall clock.
+
+Semantics (augment=True order, reference dataset.py:172-193), applied at
+target size (the cache is pre-resized; deviation from the reference's
+native-size augmentation is documented in SURVEY.md §7 "hard parts" and only
+affects --tune trials — every headline path uses augment=False):
+
+  1. JointRandomAffine(deg=15, translate=.05, scale=.95-1.05, shear=5):
+     shared params across img1/img2/label; bilinear imgs / nearest label.
+  2. JointColorJitter(b/c/s=0.3, hue=0): independent per image; the three
+     enhancements are applied in a random order (torchvision semantics).
+  3. JointGaussianBlur(k=3, sigma~U(0.1,1.0)): independent sigma per image,
+     reflect padding.
+  4. JointRandomHorizontalFlip / JointRandomVerticalFlip, p=0.5, shared.
+  5. JointRandomRotation(±30°): shared angle; NEAREST for images AND label
+     (torchvision TF.rotate's default interpolation, dataset.py:71-77).
+  6. JointNormalize: [0,1] -> [-1,1].
+
+Images are HWC float32 in [0,1]; labels HW int32 in {0,1}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    degrees: float = 15.0
+    translate: float = 0.05
+    scale_min: float = 0.95
+    scale_max: float = 1.05
+    shear: float = 5.0
+    jitter: float = 0.3
+    blur_sigma_min: float = 0.1
+    blur_sigma_max: float = 1.0
+    rotation_degrees: float = 30.0
+    flip_prob: float = 0.5
+
+
+# ---------------------------------------------------------------------------
+# Geometric warps (inverse-mapped, constant-0 fill, torchvision conventions)
+# ---------------------------------------------------------------------------
+
+
+def _inverse_affine_coords(
+    h: int, w: int, angle_deg, translate_xy, scale, shear_x_deg
+):
+    """Output-pixel -> input-pixel coordinates for the torchvision affine
+    (rotation + x-shear + scale about the image center, then translation).
+
+    Returns (ys, xs) float32 grids of shape (h, w)."""
+    a = jnp.deg2rad(angle_deg)
+    sx = jnp.deg2rad(shear_x_deg)
+    cx, cy = (w - 1) * 0.5, (h - 1) * 0.5
+    # Forward matrix F = T(c+t) @ R(a) @ Shear_x(sx) @ Scale(s) @ T(-c).
+    cos_a, sin_a = jnp.cos(a), jnp.sin(a)
+    # R @ Shear_x: shear_x maps (x, y) -> (x + tan(sx) * y, y)
+    tan_sx = jnp.tan(sx)
+    m00 = scale * cos_a
+    m01 = scale * (cos_a * tan_sx - sin_a)
+    m10 = scale * sin_a
+    m11 = scale * (sin_a * tan_sx + cos_a)
+    tx, ty = translate_xy
+    # Invert the 2x2 and the translation.
+    det = m00 * m11 - m01 * m10
+    i00, i01 = m11 / det, -m01 / det
+    i10, i11 = -m10 / det, m00 / det
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    # Shift output coords to center (+ undo translation), apply inverse,
+    # shift back.
+    dx = xx - cx - tx
+    dy = yy - cy - ty
+    xs = i00 * dx + i01 * dy + cx
+    ys = i10 * dx + i11 * dy + cy
+    return ys, xs
+
+
+def _sample_bilinear(img: jnp.ndarray, ys, xs) -> jnp.ndarray:
+    """Bilinear sample of an HWC image at float coords, 0 outside."""
+    h, w = img.shape[0], img.shape[1]
+    valid = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
+    ysc = jnp.clip(ys, 0.0, h - 1)
+    xsc = jnp.clip(xs, 0.0, w - 1)
+    y0 = jnp.floor(ysc).astype(jnp.int32)
+    x0 = jnp.floor(xsc).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ysc - y0)[..., None]
+    wx = (xsc - x0)[..., None]
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    out = (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+def _sample_nearest(img: jnp.ndarray, ys, xs) -> jnp.ndarray:
+    """Nearest sample (round-half-up like torchvision), 0 outside.
+    Works for HW (labels) and HWC arrays."""
+    h, w = img.shape[0], img.shape[1]
+    valid = (ys >= -0.5) & (ys < h - 0.5) & (xs >= -0.5) & (xs < w - 0.5)
+    yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, h - 1)
+    xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w - 1)
+    out = img[yi, xi]
+    if img.ndim == 3:
+        valid = valid[..., None]
+    return jnp.where(valid, out, jnp.zeros_like(out))
+
+
+def affine_warp(img, angle_deg, translate_xy, scale, shear_x_deg,
+                method: str = "bilinear"):
+    ys, xs = _inverse_affine_coords(
+        img.shape[0], img.shape[1], angle_deg, translate_xy, scale,
+        shear_x_deg,
+    )
+    if method == "bilinear":
+        return _sample_bilinear(img, ys, xs)
+    return _sample_nearest(img, ys, xs)
+
+
+# ---------------------------------------------------------------------------
+# Photometric ops (torchvision tensor formulas)
+# ---------------------------------------------------------------------------
+
+
+def _grayscale(img: jnp.ndarray) -> jnp.ndarray:
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    return 0.2989 * r + 0.587 * g + 0.114 * b
+
+
+def adjust_brightness(img, factor):
+    return jnp.clip(img * factor, 0.0, 1.0)
+
+
+def adjust_contrast(img, factor):
+    mean = jnp.mean(_grayscale(img))
+    return jnp.clip(mean * (1.0 - factor) + img * factor, 0.0, 1.0)
+
+
+def adjust_saturation(img, factor):
+    gray = _grayscale(img)[..., None]
+    return jnp.clip(gray * (1.0 - factor) + img * factor, 0.0, 1.0)
+
+
+_JITTER_ORDERS = (
+    (0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0),
+)
+
+
+def color_jitter(rng, img, strength: float):
+    """Brightness/contrast/saturation jitter with factors ~U(1-s, 1+s),
+    applied in a random order (torchvision ColorJitter semantics)."""
+    k_f, k_o = jax.random.split(rng)
+    lo = max(0.0, 1.0 - strength)
+    factors = jax.random.uniform(
+        k_f, (3,), minval=lo, maxval=1.0 + strength
+    )
+    order_idx = jax.random.randint(k_o, (), 0, 6)
+
+    def apply_op(i, img):
+        return jax.lax.switch(
+            i,
+            [
+                lambda x: adjust_brightness(x, factors[0]),
+                lambda x: adjust_contrast(x, factors[1]),
+                lambda x: adjust_saturation(x, factors[2]),
+            ],
+            img,
+        )
+
+    def apply_order(perm):
+        def fn(x):
+            for i in perm:
+                x = apply_op(i, x)
+            return x
+        return fn
+
+    return jax.lax.switch(
+        order_idx, [apply_order(p) for p in _JITTER_ORDERS], img
+    )
+
+
+def gaussian_blur3(img: jnp.ndarray, sigma) -> jnp.ndarray:
+    """3x3 separable Gaussian blur with reflect padding on an HWC image
+    (torchvision gaussian_blur with kernel_size=3)."""
+    x = jnp.array([-1.0, 0.0, 1.0])
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k = k / jnp.sum(k)
+    pad = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="reflect")
+    # Separable: along H then W (weighted adds — VPU work, fused by XLA).
+    h = (
+        pad[:-2, 1:-1] * k[0] + pad[1:-1, 1:-1] * k[1] + pad[2:, 1:-1] * k[2]
+    )
+    hpad = jnp.pad(h, ((0, 0), (1, 1), (0, 0)), mode="reflect")
+    return hpad[:, :-2] * k[0] + hpad[:, 1:-1] * k[1] + hpad[:, 2:] * k[2]
+
+
+# ---------------------------------------------------------------------------
+# The joint chain
+# ---------------------------------------------------------------------------
+
+
+def normalize(img: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] -> [-1,1] (reference dataset.py:155-159)."""
+    return img * 2.0 - 1.0
+
+
+def augment_sample(
+    rng: jax.Array,
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    label: Optional[jnp.ndarray],
+    cfg: AugmentConfig = AugmentConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """Full augment=True chain for ONE sample (imgs HWC [0,1], label HW int).
+    Returns images in [-1,1] and the (still-binary) label."""
+    h, w = img1.shape[0], img1.shape[1]
+    keys = jax.random.split(rng, 10)
+
+    # 1. Joint affine (shared params).
+    angle = jax.random.uniform(
+        keys[0], (), minval=-cfg.degrees, maxval=cfg.degrees
+    )
+    max_dx, max_dy = cfg.translate * w, cfg.translate * h
+    tx = jnp.round(
+        jax.random.uniform(keys[1], (), minval=-max_dx, maxval=max_dx)
+    )
+    ty = jnp.round(
+        jax.random.uniform(keys[2], (), minval=-max_dy, maxval=max_dy)
+    )
+    scale = jax.random.uniform(
+        keys[3], (), minval=cfg.scale_min, maxval=cfg.scale_max
+    )
+    shear = jax.random.uniform(
+        keys[4], (), minval=-cfg.shear, maxval=cfg.shear
+    )
+    img1 = affine_warp(img1, angle, (tx, ty), scale, shear, "bilinear")
+    img2 = affine_warp(img2, angle, (tx, ty), scale, shear, "bilinear")
+    if label is not None:
+        label = _warp_label(label, angle, (tx, ty), scale, shear)
+
+    # 2. Color jitter (independent per image).
+    k21, k22 = jax.random.split(keys[5])
+    img1 = color_jitter(k21, img1, cfg.jitter)
+    img2 = color_jitter(k22, img2, cfg.jitter)
+
+    # 3. Gaussian blur (independent sigma per image).
+    k31, k32 = jax.random.split(keys[6])
+    sig1 = jax.random.uniform(
+        k31, (), minval=cfg.blur_sigma_min, maxval=cfg.blur_sigma_max
+    )
+    sig2 = jax.random.uniform(
+        k32, (), minval=cfg.blur_sigma_min, maxval=cfg.blur_sigma_max
+    )
+    img1 = gaussian_blur3(img1, sig1)
+    img2 = gaussian_blur3(img2, sig2)
+
+    # 4. Shared flips.
+    do_h = jax.random.uniform(keys[7]) < cfg.flip_prob
+    do_v = jax.random.uniform(keys[8]) < cfg.flip_prob
+    img1 = jnp.where(do_h, img1[:, ::-1], img1)
+    img2 = jnp.where(do_h, img2[:, ::-1], img2)
+    img1 = jnp.where(do_v, img1[::-1], img1)
+    img2 = jnp.where(do_v, img2[::-1], img2)
+    if label is not None:
+        label = jnp.where(do_h, label[:, ::-1], label)
+        label = jnp.where(do_v, label[::-1], label)
+
+    # 5. Shared rotation, NEAREST for images and label (torchvision
+    #    TF.rotate default — reference dataset.py:71-77).
+    rot = jax.random.uniform(
+        keys[9], (), minval=-cfg.rotation_degrees, maxval=cfg.rotation_degrees
+    )
+    zero = jnp.zeros(())
+    img1 = affine_warp(img1, rot, (zero, zero), 1.0, 0.0, "nearest")
+    img2 = affine_warp(img2, rot, (zero, zero), 1.0, 0.0, "nearest")
+    if label is not None:
+        label = _warp_label(label, rot, (zero, zero), 1.0, 0.0)
+
+    return normalize(img1), normalize(img2), label
+
+
+def _warp_label(label, angle, translate_xy, scale, shear):
+    ys, xs = _inverse_affine_coords(
+        label.shape[0], label.shape[1], angle, translate_xy, scale, shear
+    )
+    return _sample_nearest(label, ys, xs)
+
+
+def augment_batch(rng, img1, img2, labels, cfg=AugmentConfig()):
+    """vmapped augment over a batch: (B,H,W,C) imgs, (B,H,W) labels."""
+    keys = jax.random.split(rng, img1.shape[0])
+    if labels is None:
+        def one(k, a, b):
+            i1, i2, _ = augment_sample(k, a, b, None, cfg)
+            return i1, i2
+        i1, i2 = jax.vmap(one)(keys, img1, img2)
+        return i1, i2, None
+    return jax.vmap(
+        lambda k, a, b, l: augment_sample(k, a, b, l, cfg)
+    )(keys, img1, img2, labels)
+
+
+def eval_batch(img1, img2):
+    """augment=False path: just the [-1,1] normalize."""
+    return normalize(img1), normalize(img2)

@@ -1,0 +1,6 @@
+from .mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicate_sharding,
+    shard_batch_arrays,
+)

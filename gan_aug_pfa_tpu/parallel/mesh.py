@@ -1,0 +1,80 @@
+"""Device mesh + sharding helpers.
+
+The reference has no distributed layer at all (SURVEY.md §2, §5.8); this is
+the TPU-native parallelism the rebuild adds.  Strategy (scaling-book style):
+
+  * a 1-D (or 2-D) `jax.sharding.Mesh` over the slice's chips;
+  * data parallelism: batch arrays sharded over the 'data' axis, parameters
+    replicated.  Train steps are plain `jax.jit` with sharding annotations —
+    the XLA SPMD partitioner inserts the psum gradient all-reduce over ICI;
+    no hand-written collectives needed for DP.
+  * spatial parallelism (optional, for resolutions beyond per-core HBM):
+    feature maps additionally sharded over an 'spatial' (H) axis; XLA inserts
+    halo exchanges for the convs.
+
+Multi-host entry: `jax.distributed.initialize()` is called by the CLI when
+launched under multi-process runtime (gated — a no-op in single-process runs).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh over the first n_devices devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    if shape is None:
+        shape = (len(devs),) if len(axis_names) == 1 else None
+    arr = np.asarray(devs).reshape(shape)
+    return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data",
+                   spatial_axis: Optional[str] = None) -> NamedSharding:
+    """Shard dim 0 (batch) over `axis`; optionally dim 1 (H) over
+    `spatial_axis`; other dims replicated."""
+    spec = [None] * ndim
+    spec[0] = axis
+    if spatial_axis is not None and ndim >= 3:
+        spec[1] = spatial_axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_arrays(mesh: Mesh, *arrays, axis: str = "data"):
+    """Device-put each array with its batch dim sharded over `axis`."""
+    out = []
+    for a in arrays:
+        if a is None:
+            out.append(None)
+            continue
+        out.append(
+            jax.device_put(a, batch_sharding(mesh, np.ndim(a), axis))
+        )
+    return tuple(out)
+
+
+def maybe_distributed_init() -> None:
+    """Initialize the multi-host runtime when launched under one (no-op
+    otherwise).  TPU-native replacement for the reference's absent
+    NCCL/MPI layer (SURVEY.md §5.8)."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()

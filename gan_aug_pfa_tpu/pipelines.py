@@ -1,0 +1,553 @@
+"""End-to-end pipeline drivers: the reference's five entry-point main loops,
+shared between the CLI scripts and tests.
+
+  run_siamese_training      — reference train.py:258-322 (main)
+  run_gan_training          — reference train_gan.py:95-155 (main_gan)
+  run_generate_synthetic    — reference generate_synthetic_data.py:33-89
+  run_evaluation            — reference evaluate.py:129-210, 287-354
+  evaluate_single_pair      — reference evaluate.py:216-283
+
+Behavioral quirks of the reference preserved deliberately (SURVEY.md §7):
+  * main training defaults to augment=False (reference train.py:269-276
+    never passes augment=True; augmentation runs only under --tune);
+  * GAN training scans ALL 14 cities with no train/val split
+    (train_gan.py:99-108);
+  * evaluation scans ALL cities despite its "validation" naming
+    (evaluate.py:315-320);
+  * single-pair eval uses BICUBIC + ImageNet normalization, unlike the
+    training distribution (evaluate.py:220-224).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from . import checkpoint as ckpt
+from .config import (
+    DataConfig,
+    EvalConfig,
+    GANTrainConfig,
+    GenerateConfig,
+    SiameseTrainConfig,
+)
+from .data import build_cached_dataset, create_sample_lists
+from .data.loader import float_to_uint8
+from .metrics import METRIC_KEYS, per_sample_metrics
+from .parallel.mesh import make_mesh
+from .train import GANTrainer, ReduceLROnPlateau, SiameseTrainer
+from .train.optim import get_learning_rate, set_learning_rate
+
+
+def _default_mesh(enabled: bool):
+    if enabled and len(jax.devices()) > 1:
+        return make_mesh()
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Siamese training (reference train.py main)
+# ---------------------------------------------------------------------------
+
+
+def run_siamese_training(
+    data_cfg: DataConfig,
+    train_cfg: SiameseTrainConfig,
+    verbose: bool = True,
+) -> Optional[Dict]:
+    checkpoint_dir = os.path.join(data_cfg.root_dir, train_cfg.checkpoint_dir)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+
+    train_samples = create_sample_lists(
+        data_cfg.root_dir, data_cfg.dataset_subdir, data_cfg.synthetic_data_dir,
+        mode="train", use_synthetic=data_cfg.use_synthetic, verbose=verbose,
+    )
+    val_samples = create_sample_lists(
+        data_cfg.root_dir, data_cfg.dataset_subdir, data_cfg.synthetic_data_dir,
+        mode="val", verbose=verbose,
+    )
+    if not train_samples:
+        print("Error: Training dataset is empty. Check paths and data.")
+        return None
+    if not val_samples:
+        print("Warning: Validation dataset is empty. Check paths and data.")
+
+    train_ds = build_cached_dataset(
+        train_samples, data_cfg.target_size, verbose=verbose
+    )
+    val_ds = build_cached_dataset(
+        val_samples, data_cfg.target_size, verbose=verbose
+    )
+    if verbose:
+        print(
+            f"Dataset loaded: {len(train_ds)} train samples, "
+            f"{len(val_ds)} val samples."
+        )
+
+    mesh = _default_mesh(train_cfg.data_parallel)
+    trainer = SiameseTrainer(train_cfg, mesh=mesh, augment=data_cfg.augment)
+    rng = jax.random.PRNGKey(train_cfg.seed)
+    state = trainer.init_state(rng, data_cfg.target_size)
+    scheduler = ReduceLROnPlateau(
+        train_cfg.learning_rate, train_cfg.plateau_factor,
+        train_cfg.plateau_patience,
+    )
+    start_epoch = 1
+    best_val_loss = float("inf")
+
+    if train_cfg.resume:
+        path = ckpt.find_checkpoint(checkpoint_dir, "last_state")
+        if path:
+            state, extra = ckpt.restore_checkpoint(path, state, with_extra=True)
+            start_epoch = int(extra.get("epoch", 0)) + 1
+            best_val_loss = float(extra.get("best_val_loss", float("inf")))
+            if "scheduler" in extra:
+                scheduler.load_state_dict(
+                    jax.tree.map(float, extra["scheduler"])
+                )
+                state = state.replace(
+                    opt_state=set_learning_rate(state.opt_state, scheduler.lr)
+                )
+            if verbose:
+                print(f"Resumed from {path} at epoch {start_epoch}.")
+
+    dev_train = trainer._device_arrays(train_ds)
+    dev_val = trainer._device_arrays(val_ds) if len(val_ds) else None
+    epoch_rng = np.random.RandomState(train_cfg.seed)
+    history = {"train_loss": [], "val_loss": []}
+
+    for epoch in range(start_epoch, train_cfg.num_epochs + 1):
+        lr_now = get_learning_rate(state.opt_state)
+        if verbose:
+            print(f"\nEpoch {epoch}/{train_cfg.num_epochs} - LR: {lr_now:.1e}")
+        t0 = time.perf_counter()
+        rng, erng = jax.random.split(rng)
+        state, train_loss = trainer.train_epoch(
+            state, dev_train, len(train_ds), erng, epoch_rng
+        )
+        val_loss = (
+            trainer.validate(state, dev_val, len(val_ds)) if dev_val else 0.0
+        )
+        dt = time.perf_counter() - t0
+        history["train_loss"].append(train_loss)
+        history["val_loss"].append(val_loss)
+        if verbose:
+            print(
+                f"Epoch {epoch} - Train Loss: {train_loss:.4f}, "
+                f"Val Loss: {val_loss:.4f} ({dt:.2f}s)"
+            )
+        new_lr = scheduler.step(val_loss)
+        if new_lr != lr_now:
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, new_lr)
+            )
+        if val_loss < best_val_loss:
+            best_val_loss = val_loss
+            path = os.path.join(
+                checkpoint_dir, ckpt.checkpoint_name("best_model")
+            )
+            ckpt.save_checkpoint(
+                path, state, extra={"epoch": epoch, "val_loss": val_loss}
+            )
+            if verbose:
+                print(
+                    f"Best model saved to {path} (Val Loss: "
+                    f"{best_val_loss:.4f})"
+                )
+        if epoch % train_cfg.save_every == 0:
+            path = os.path.join(
+                checkpoint_dir, ckpt.checkpoint_name(f"model_epoch_{epoch}")
+            )
+            ckpt.save_checkpoint(path, state, extra={"epoch": epoch})
+            if verbose:
+                print(f"Checkpoint saved to {path}")
+        # Rolling resume state (improvement over the reference).
+        ckpt.save_checkpoint(
+            os.path.join(checkpoint_dir, ckpt.checkpoint_name("last_state")),
+            state,
+            extra={
+                "epoch": epoch,
+                "best_val_loss": best_val_loss,
+                "scheduler": scheduler.state_dict(),
+            },
+        )
+    if verbose:
+        print("Training finished.")
+    history["best_val_loss"] = best_val_loss
+    history["state"] = state
+    history["trainer"] = trainer
+    return history
+
+
+# ---------------------------------------------------------------------------
+# GAN training (reference train_gan.py main_gan)
+# ---------------------------------------------------------------------------
+
+
+def run_gan_training(
+    data_cfg: DataConfig,
+    gan_cfg: GANTrainConfig,
+    verbose: bool = True,
+) -> Optional[Dict]:
+    checkpoint_dir = os.path.join(data_cfg.root_dir, gan_cfg.checkpoint_dir)
+    output_dir = os.path.join(data_cfg.root_dir, gan_cfg.output_dir)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    os.makedirs(output_dir, exist_ok=True)
+
+    # The reference trains the GAN on ALL cities, no split
+    # (train_gan.py:99-108) — quirk preserved.
+    samples = create_sample_lists(
+        data_cfg.root_dir, data_cfg.dataset_subdir, data_cfg.synthetic_data_dir,
+        mode="all", verbose=verbose,
+    )
+    if not samples:
+        print("Error: GAN Training dataset is empty. Check dataset path and "
+              "structure.")
+        return None
+    ds = build_cached_dataset(samples, gan_cfg.target_size, verbose=verbose)
+    if verbose:
+        print(f"GAN Dataset loaded: {len(ds)} train samples.")
+
+    mesh = _default_mesh(gan_cfg.data_parallel)
+    trainer = GANTrainer(gan_cfg, mesh=mesh)
+    sg, sd = trainer.init_states(jax.random.PRNGKey(gan_cfg.seed))
+    start_epoch = 1
+    if gan_cfg.resume:
+        pg = ckpt.find_checkpoint(checkpoint_dir, "last_generator")
+        pd = ckpt.find_checkpoint(checkpoint_dir, "last_discriminator")
+        if pg and pd:
+            sg, extra = ckpt.restore_checkpoint(pg, sg, with_extra=True)
+            sd = ckpt.restore_checkpoint(pd, sd)
+            start_epoch = int(extra.get("epoch", 0)) + 1
+            if verbose:
+                print(f"Resumed GAN from epoch {start_epoch}.")
+
+    dev = (jax.device_put(ds.img1), jax.device_put(ds.img2))
+    epoch_rng = np.random.RandomState(gan_cfg.seed)
+    sample_rng = np.random.RandomState(gan_cfg.seed + 1)
+    history = {"loss_d": [], "loss_g": []}
+
+    for epoch in range(start_epoch, gan_cfg.num_epochs + 1):
+        t0 = time.perf_counter()
+        sg, sd, loss_d, loss_g = trainer.train_epoch(
+            sg, sd, dev, len(ds), epoch_rng
+        )
+        dt = time.perf_counter() - t0
+        history["loss_d"].append(loss_d)
+        history["loss_g"].append(loss_g)
+        if verbose:
+            print(
+                f"Epoch {epoch} - Avg Loss D: {loss_d:.4f}, Avg Loss G: "
+                f"{loss_g:.4f} ({dt:.2f}s)"
+            )
+        if epoch % gan_cfg.sample_every == 0 or epoch == gan_cfg.num_epochs:
+            # Random sample strip (reference save_samples, train_gan.py:78-92).
+            from .utils.viz import save_gan_sample_strip
+
+            i = int(sample_rng.randint(len(ds)))
+            fake = trainer.generate(sg, dev[0][i:i + 1])
+            path = save_gan_sample_strip(
+                ds.img1[i], np.asarray(fake[0]), ds.img2[i],
+                ds.cities[i], epoch, output_dir,
+            )
+            if verbose:
+                print(f"Saved sample image to {path}")
+        if epoch % gan_cfg.save_every == 0 or epoch == gan_cfg.num_epochs:
+            pg = os.path.join(
+                checkpoint_dir,
+                ckpt.checkpoint_name(f"generator_epoch_{epoch}"),
+            )
+            pd = os.path.join(
+                checkpoint_dir,
+                ckpt.checkpoint_name(f"discriminator_epoch_{epoch}"),
+            )
+            ckpt.save_checkpoint(pg, sg, extra={"epoch": epoch})
+            ckpt.save_checkpoint(pd, sd, extra={"epoch": epoch})
+            ckpt.save_checkpoint(
+                os.path.join(
+                    checkpoint_dir, ckpt.checkpoint_name("last_generator")
+                ),
+                sg, extra={"epoch": epoch},
+            )
+            ckpt.save_checkpoint(
+                os.path.join(
+                    checkpoint_dir, ckpt.checkpoint_name("last_discriminator")
+                ),
+                sd, extra={"epoch": epoch},
+            )
+            if verbose:
+                print(f"GAN Checkpoints saved for epoch {epoch}")
+    if verbose:
+        print("GAN Training finished.")
+    history["state_g"] = sg
+    history["state_d"] = sd
+    history["trainer"] = trainer
+    return history
+
+
+# ---------------------------------------------------------------------------
+# Synthetic-data generation (reference generate_synthetic_data.py)
+# ---------------------------------------------------------------------------
+
+
+def run_generate_synthetic(
+    data_cfg: DataConfig,
+    gen_cfg: GenerateConfig,
+    verbose: bool = True,
+) -> int:
+    from PIL import Image
+
+    samples = create_sample_lists(
+        data_cfg.root_dir, data_cfg.dataset_subdir, data_cfg.synthetic_data_dir,
+        mode="all", verbose=verbose,
+    )
+    if not samples:
+        print("Error: Original training dataset is empty. Cannot generate "
+              "synthetic data.")
+        return 0
+    ds = build_cached_dataset(samples, gen_cfg.target_size, verbose=verbose)
+
+    gan_cfg = GANTrainConfig(
+        target_size=gen_cfg.target_size, n_channels=gen_cfg.n_channels
+    )
+    trainer = GANTrainer(gan_cfg)
+    sg, _ = trainer.init_states(jax.random.PRNGKey(0))
+    gen_path = os.path.join(
+        data_cfg.root_dir, gen_cfg.gan_checkpoint_dir,
+        gen_cfg.generator_checkpoint_name,
+    )
+    if verbose:
+        print(f"Loading GAN generator from: {gen_path}")
+    if not os.path.exists(gen_path):
+        print(f"Error: Generator checkpoint not found at {gen_path}")
+        return 0
+    sg = ckpt.restore_checkpoint(gen_path, sg)
+
+    out_base = os.path.join(data_cfg.root_dir, gen_cfg.synthetic_data_dir)
+    os.makedirs(os.path.join(out_base, "images"), exist_ok=True)
+    os.makedirs(os.path.join(out_base, "labels"), exist_ok=True)
+
+    bs = gen_cfg.batch_size
+    dev1 = jax.device_put(ds.img1)
+    count = 0
+    for i in range(0, len(ds), bs):
+        batch = dev1[i:i + bs]
+        fake = np.asarray(trainer.generate(sg, batch))  # [0,1]
+        for j in range(batch.shape[0]):
+            sample_idx = i + j
+            city = ds.cities[sample_idx]
+            img_dir = os.path.join(out_base, "images", city)
+            lbl_dir = os.path.join(out_base, "labels", city)
+            os.makedirs(img_dir, exist_ok=True)
+            os.makedirs(lbl_dir, exist_ok=True)
+            # img1 saved is the resized copy, img2 is the generator output,
+            # label is the real label * 255 (reference
+            # generate_synthetic_data.py:70-85).
+            Image.fromarray(float_to_uint8(ds.img1[sample_idx])).save(
+                os.path.join(img_dir, f"img1_synth_{sample_idx}.png")
+            )
+            Image.fromarray(float_to_uint8(fake[j])).save(
+                os.path.join(img_dir, f"img2_synth_{sample_idx}.png")
+            )
+            lbl = (ds.labels[sample_idx].astype(np.uint8)) * 255
+            Image.fromarray(lbl, mode="L").save(
+                os.path.join(lbl_dir, f"cm_synth_{sample_idx}.png")
+            )
+            count += 1
+    if verbose:
+        print(
+            f"\nSynthetic data generation finished. Saved {count} samples "
+            f"to {out_base}"
+        )
+    return count
+
+
+# ---------------------------------------------------------------------------
+# Evaluation (reference evaluate.py)
+# ---------------------------------------------------------------------------
+
+
+def run_evaluation(
+    data_cfg: DataConfig,
+    eval_cfg: EvalConfig,
+    verbose: bool = True,
+) -> Optional[Dict]:
+    from .utils.viz import visualize_sample
+
+    output_dir = os.path.join(data_cfg.root_dir, eval_cfg.output_dir)
+    os.makedirs(output_dir, exist_ok=True)
+
+    # The reference evaluates ALL cities despite 'validation' naming
+    # (evaluate.py:315-320) — quirk preserved.
+    samples = create_sample_lists(
+        data_cfg.root_dir, data_cfg.dataset_subdir, data_cfg.synthetic_data_dir,
+        mode="all", verbose=verbose,
+    )
+    if not samples:
+        print("Error: No validation samples found. Check dataset paths and "
+              "structure.")
+        return None
+    ds = build_cached_dataset(samples, eval_cfg.target_size, verbose=verbose)
+
+    train_cfg = SiameseTrainConfig(
+        n_channels=eval_cfg.n_channels, n_classes=eval_cfg.n_classes
+    )
+    trainer = SiameseTrainer(train_cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), eval_cfg.target_size)
+    checkpoint_path = eval_cfg.checkpoint_path or os.path.join(
+        data_cfg.root_dir, "siamese_checkpoints",
+        ckpt.checkpoint_name("best_model"),
+    )
+    if not os.path.exists(checkpoint_path):
+        print(f"Error: Checkpoint file not found at {checkpoint_path}")
+        return None
+    state = ckpt.restore_checkpoint(checkpoint_path, state)
+
+    dev = trainer._device_arrays(ds)
+    bs = eval_cfg.batch_size
+    total = {k: 0.0 for k in METRIC_KEYS}
+    per_city: Dict[str, Dict[str, float]] = {}
+    per_city_counts: Dict[str, int] = {}
+    n = 0
+    visualized = 0
+    for start in range(0, len(ds), bs):
+        idx = np.arange(start, min(start + bs, len(ds)))
+        img1 = dev[0][idx[0]:idx[-1] + 1]
+        img2 = dev[1][idx[0]:idx[-1] + 1]
+        labels = ds.labels[idx[0]:idx[-1] + 1]
+        probs = np.asarray(trainer.predict(state, img1, img2))[..., 0]
+        batch_metrics = jax.device_get(
+            per_sample_metrics(probs, labels.astype(np.float32))
+        )
+        for k_in_batch, sample_i in enumerate(idx):
+            city = ds.cities[sample_i]
+            if city not in per_city:
+                per_city[city] = {k: 0.0 for k in METRIC_KEYS}
+                per_city_counts[city] = 0
+            for key in METRIC_KEYS:
+                v = float(batch_metrics[key][k_in_batch])
+                per_city[city][key] += v
+                total[key] += v
+            per_city_counts[city] += 1
+            n += 1
+            if visualized < eval_cfg.num_visualizations:
+                visualize_sample(
+                    ds.img1[sample_i], ds.img2[sample_i],
+                    labels[k_in_batch], probs[k_in_batch],
+                    city, visualized, output_dir,
+                )
+                visualized += 1
+
+    overall = {k: v / n for k, v in total.items()} if n else {}
+    if verbose:
+        print("\n--- Overall Evaluation Metrics ---")
+        for k, v in overall.items():
+            print(f"{k.capitalize()}: {v:.4f}")
+        print("\n--- Per-City Evaluation Metrics ---")
+        for city, m in per_city.items():
+            c = per_city_counts[city]
+            print(f"City: {city} (Samples: {c})")
+            for k in METRIC_KEYS:
+                print(f"  {k.capitalize()}: {m[k] / c:.4f}")
+    return {"overall": overall, "per_city": per_city,
+            "per_city_counts": per_city_counts}
+
+
+def evaluate_single_pair(
+    data_cfg: DataConfig,
+    eval_cfg: EvalConfig,
+    img1_path: str,
+    img2_path: str,
+    city_name: str,
+    label_path: Optional[str] = None,
+    verbose: bool = True,
+) -> Optional[Dict]:
+    """Single-pair evaluation (reference evaluate.py:216-283).
+
+    Quirk preserved: BICUBIC resize + ImageNet mean/std normalization —
+    a DIFFERENT input distribution from training's [-1,1] (documented
+    inconsistency, SURVEY.md §2 #23)."""
+    from PIL import Image
+
+    from .metrics import calculate_metrics
+    from .utils.viz import visualize_sample
+
+    output_dir = os.path.join(data_cfg.root_dir, eval_cfg.output_dir)
+    os.makedirs(output_dir, exist_ok=True)
+    target = eval_cfg.target_size
+    try:
+        img1 = Image.open(img1_path).convert("RGB")
+        img2 = Image.open(img2_path).convert("RGB")
+    except FileNotFoundError:
+        print(f"Error: One or both image paths not found: {img1_path}, "
+              f"{img2_path}")
+        return None
+    # PIL BICUBIC (T.Resize on a PIL image), then ImageNet normalize.
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def prep(im):
+        im = im.resize((target[1], target[0]), Image.BICUBIC)
+        arr = np.asarray(im, np.float32) / 255.0
+        return (arr - mean) / std
+
+    x1 = prep(img1)[None]
+    x2 = prep(img2)[None]
+
+    label = None
+    if label_path:
+        try:
+            lp = Image.open(label_path).convert("L")
+            lp = lp.resize((target[1], target[0]), Image.NEAREST)
+            label = (np.asarray(lp, np.float32) / 255.0)[None]
+        except FileNotFoundError:
+            print(f"Warning: Label path not found: {label_path}. Proceeding "
+                  f"without metrics.")
+            label_path = None
+
+    train_cfg = SiameseTrainConfig(
+        n_channels=eval_cfg.n_channels, n_classes=eval_cfg.n_classes
+    )
+    trainer = SiameseTrainer(train_cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), target)
+    checkpoint_path = eval_cfg.checkpoint_path or os.path.join(
+        data_cfg.root_dir, "siamese_checkpoints",
+        ckpt.checkpoint_name("best_model"),
+    )
+    if not os.path.exists(checkpoint_path):
+        print(f"Error: Checkpoint not found at {checkpoint_path}. Cannot "
+              f"evaluate single pair.")
+        return None
+    state = ckpt.restore_checkpoint(checkpoint_path, state)
+
+    # The reference's transform already normalized, so apply the raw model
+    # (predict() would re-normalize): mirror by calling apply directly.
+    import jax.numpy as jnp
+
+    logits = trainer.model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(x1), jnp.asarray(x2), train=False,
+    )
+    probs = np.asarray(jax.nn.sigmoid(logits))[..., 0]
+
+    visualize_sample(
+        np.clip(x1[0], 0, 1), np.clip(x2[0], 0, 1),
+        label[0] if label is not None else None,
+        probs[0], city_name, "single_eval", output_dir,
+    )
+    result = {"pred": probs}
+    if label is not None and label_path:
+        m = jax.device_get(calculate_metrics(probs, label))
+        m = {k: float(v) for k, v in m.items()}
+        if verbose:
+            print(f"\n--- Metrics for {city_name} ---")
+            for k, v in m.items():
+                print(f"{k.capitalize()}: {v:.4f}")
+        result["metrics"] = m
+    elif not label_path and verbose:
+        print("No label path provided, skipping metrics calculation.")
+    return result

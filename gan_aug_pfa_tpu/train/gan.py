@@ -1,0 +1,205 @@
+"""Pix2Pix GAN training: the alternating D/G optimization as ONE compiled
+step (reference train_gan.py:41-75).
+
+Semantics preserved from the reference's torch loop, in order:
+  D-step: fake_B = stop_gradient(G(A));
+          loss_D = 0.5 * (BCE(D(A,B),1) + BCE(D(A,fake),0)); update D.
+          (G's forward in the D-step still updates G's BatchNorm running
+          stats, as torch's gen(A).detach() does.)
+  G-step: uses the UPDATED discriminator (torch applied opt_d.step() first);
+          loss_G = BCE(D(A,G(A)),1) + lambda_L1 * L1(G(A), B); update G.
+
+BatchNorm running stats are threaded through every apply in the same order
+as torch executes the forwards (G, D, D in the D-step; G, D in the G-step).
+
+The whole thing — both gradients, both optimizer updates, five forwards —
+is a single XLA program with donated states; at the reference's 256x256
+batch-1 workload this is entirely compute-bound on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.training import train_state
+
+from ..config import GANTrainConfig
+from ..data.transforms import normalize
+from ..losses import gan_bce_loss, l1_loss
+from ..models import NLayerDiscriminator, UNetGenerator
+from ..parallel.mesh import batch_sharding, replicate_sharding
+from .optim import make_optimizer
+
+
+class GANState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+class GANTrainer:
+    def __init__(self, config: GANTrainConfig, mesh=None):
+        self.config = config
+        self.mesh = mesh
+        dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else (
+            jnp.float32
+        )
+        nc = config.n_channels
+        self.generator = UNetGenerator(input_nc=nc, output_nc=nc, dtype=dtype)
+        self.discriminator = NLayerDiscriminator(input_nc=nc * 2, dtype=dtype)
+        self.tx_g = make_optimizer(
+            "adam", config.learning_rate_g, b1=config.beta1
+        )
+        self.tx_d = make_optimizer(
+            "adam", config.learning_rate_d, b1=config.beta1
+        )
+
+    def init_states(self, rng: jax.Array) -> Tuple[GANState, GANState]:
+        h, w = self.config.target_size
+        kg, kd = jax.random.split(rng)
+        dummy = jnp.zeros((1, h, w, self.config.n_channels), jnp.float32)
+        vg = self.generator.init(kg, dummy, train=False)
+        vd = self.discriminator.init(
+            kd, jnp.concatenate([dummy, dummy], axis=-1), train=False
+        )
+        sg = GANState.create(
+            apply_fn=self.generator.apply, params=vg["params"], tx=self.tx_g,
+            batch_stats=vg["batch_stats"],
+        )
+        sd = GANState.create(
+            apply_fn=self.discriminator.apply, params=vd["params"],
+            tx=self.tx_d, batch_stats=vd["batch_stats"],
+        )
+        if self.mesh is not None:
+            sg = jax.device_put(sg, replicate_sharding(self.mesh))
+            sd = jax.device_put(sd, replicate_sharding(self.mesh))
+        return sg, sd
+
+    # ------------------------------------------------------------------
+
+    def _gen_apply(self, params, batch_stats, x, train: bool):
+        if train:
+            out, mut = self.generator.apply(
+                {"params": params, "batch_stats": batch_stats}, x,
+                train=True, mutable=["batch_stats"],
+            )
+            return out, mut["batch_stats"]
+        out = self.generator.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+        return out, batch_stats
+
+    def _disc_apply(self, params, batch_stats, a, b, train: bool):
+        x = jnp.concatenate([a, b], axis=-1)
+        if train:
+            out, mut = self.discriminator.apply(
+                {"params": params, "batch_stats": batch_stats}, x,
+                train=True, mutable=["batch_stats"],
+            )
+            return out, mut["batch_stats"]
+        out = self.discriminator.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+        return out, batch_stats
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _gan_step(self, state_g: GANState, state_d: GANState, ds1, ds2, idx):
+        """Fused gather + D-step + G-step.  ds1/ds2: full dataset arrays in
+        [0,1]; idx: (B,) batch indices."""
+        real_a = normalize(jnp.take(ds1, idx, axis=0))
+        real_b = normalize(jnp.take(ds2, idx, axis=0))
+
+        # --- D step -----------------------------------------------------
+        # G forward (train mode: BN stats update; gradients stopped).
+        fake_b, g_bs = self._gen_apply(
+            state_g.params, state_g.batch_stats, real_a, train=True
+        )
+        fake_b = jax.lax.stop_gradient(fake_b)
+
+        def d_loss_fn(d_params):
+            pred_real, d_bs = self._disc_apply(
+                d_params, state_d.batch_stats, real_a, real_b, train=True
+            )
+            pred_fake, d_bs = self._disc_apply(
+                d_params, d_bs, real_a, fake_b, train=True
+            )
+            loss_real = gan_bce_loss(pred_real, True)
+            loss_fake = gan_bce_loss(pred_fake, False)
+            return (loss_real + loss_fake) * 0.5, d_bs
+
+        (loss_d, d_bs), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state_d.params)
+        state_d = state_d.apply_gradients(grads=d_grads, batch_stats=d_bs)
+
+        # --- G step (against the UPDATED discriminator) -------------------
+        def g_loss_fn(g_params):
+            fake, g_bs2 = self._gen_apply(
+                g_params, g_bs, real_a, train=True
+            )
+            pred_fake, d_bs2 = self._disc_apply(
+                state_d.params, state_d.batch_stats, real_a, fake, train=True
+            )
+            loss_gan = gan_bce_loss(pred_fake, True)
+            loss_l1 = l1_loss(fake, real_b) * self.config.lambda_l1
+            return loss_gan + loss_l1, (g_bs2, d_bs2)
+
+        (loss_g, (g_bs2, d_bs2)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state_g.params)
+        state_g = state_g.apply_gradients(grads=g_grads, batch_stats=g_bs2)
+        state_d = state_d.replace(batch_stats=d_bs2)
+        return state_g, state_d, loss_d, loss_g
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def generate(self, state_g: GANState, img1):
+        """Inference: [0,1] input -> [0,1] output (the x*0.5+0.5 denormalize
+        of reference generate_synthetic_data.py:70-71 folded in)."""
+        fake, _ = self._gen_apply(
+            state_g.params, state_g.batch_stats, normalize(img1), train=False
+        )
+        return fake * 0.5 + 0.5
+
+    # ------------------------------------------------------------------
+
+    def _put_idx(self, idx: np.ndarray):
+        idx = jnp.asarray(idx, dtype=jnp.int32)
+        if self.mesh is None:
+            return idx
+        n_data = self.mesh.shape.get("data", 1)
+        if idx.shape[0] % n_data == 0:
+            return jax.device_put(idx, batch_sharding(self.mesh, 1))
+        return jax.device_put(idx, replicate_sharding(self.mesh))
+
+    def train_epoch(
+        self,
+        state_g: GANState,
+        state_d: GANState,
+        dev_ds,
+        n_samples: int,
+        epoch_rng: np.random.RandomState,
+    ):
+        """One epoch with drop_last=True shuffled batches (reference
+        train_gan.py:135)."""
+        bs = self.config.batch_size
+        ds1, ds2 = dev_ds
+        perm = epoch_rng.permutation(n_samples)
+        n_full = (n_samples // bs) * bs
+        losses_d, losses_g = [], []
+        for start in range(0, n_full, bs):
+            idx = self._put_idx(perm[start:start + bs])
+            state_g, state_d, ld, lg = self._gan_step(
+                state_g, state_d, ds1, ds2, idx
+            )
+            losses_d.append(ld)
+            losses_g.append(lg)
+        if not losses_d:
+            return state_g, state_d, 0.0, 0.0
+        return (
+            state_g,
+            state_d,
+            float(jnp.mean(jnp.stack(losses_d))),
+            float(jnp.mean(jnp.stack(losses_g))),
+        )

@@ -1,0 +1,63 @@
+"""Optimizer factories with torch-matching semantics.
+
+  adamw: decoupled weight decay (optax.adamw == torch.optim.AdamW).
+  adam:  torch.optim.Adam's weight_decay adds wd*param to the GRADIENT
+         (L2 regularization, coupled), i.e. add_decayed_weights BEFORE the
+         Adam moment update — not optax.adamw's decoupled form.
+
+Learning rates are injected as mutable hyperparams so the host-side
+ReduceLROnPlateau (plateau.py) can rewrite them between epochs without
+recompiling the train step.
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def make_optimizer(
+    name: str,
+    learning_rate: float,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    name = name.lower()
+    if name == "adamw":
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=learning_rate, b1=b1, b2=b2, eps=eps,
+            weight_decay=weight_decay,
+        )
+    if name == "adam":
+
+        def torch_adam(learning_rate, weight_decay=0.0):
+            # add_decayed_weights BEFORE the moment update == torch Adam's
+            # coupled L2; weight_decay=0 is a numeric no-op (and the
+            # hyperparam is traced under inject_hyperparams, so no branching).
+            return optax.chain(
+                optax.add_decayed_weights(weight_decay),
+                optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+                optax.scale_by_learning_rate(learning_rate),
+            )
+
+        return optax.inject_hyperparams(torch_adam)(
+            learning_rate=learning_rate, weight_decay=weight_decay
+        )
+    raise ValueError(f"Unknown optimizer: {name}")
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Rewrite the injected learning-rate hyperparam in an opt state
+    (a one-scalar host->device transfer, done once per epoch at most)."""
+    import jax.numpy as jnp
+
+    old = opt_state.hyperparams["learning_rate"]
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+        lr, dtype=jnp.asarray(old).dtype
+    )
+    return opt_state
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(opt_state.hyperparams["learning_rate"])

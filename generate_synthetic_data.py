@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Generate the synthetic training corpus with a trained Pix2Pix generator.
+
+Reference generate_synthetic_data.py has no argparse (constants at :13-24);
+invocation compatibility is `python generate_synthetic_data.py`.  Flags added
+for the previously hardcoded constants, same defaults.  Output layout is the
+reference's contract: synthetic_data/images/[city]/img{1,2}_synth_N.png +
+synthetic_data/labels/[city]/cm_synth_N.png, uint8 PNGs produced by the
+same truncating float->byte conversion.
+"""
+
+import argparse
+
+from gan_aug_pfa_tpu.config import (
+    DATASET_SUBDIR_DEFAULT,
+    SYNTHETIC_DATA_DIR_DEFAULT,
+    DataConfig,
+    GenerateConfig,
+    parse_target_size,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Generate synthetic change data")
+    p.add_argument("--root-dir", type=str, default=".")
+    p.add_argument("--dataset-subdir", type=str,
+                   default=DATASET_SUBDIR_DEFAULT)
+    p.add_argument("--synthetic-data-dir", type=str,
+                   default=SYNTHETIC_DATA_DIR_DEFAULT)
+    p.add_argument("--gan-checkpoint-dir", type=str, default="gan_checkpoints")
+    p.add_argument("--generator-checkpoint-name", type=str,
+                   default="generator_epoch_200.msgpack")
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--target-size", type=str, default="256x256",
+                   help="Must match GAN training size")
+    return p
+
+
+def main() -> None:
+    args = build_parser().parse_args()
+    target_size = parse_target_size(args.target_size)
+    data_cfg = DataConfig(
+        root_dir=args.root_dir,
+        dataset_subdir=args.dataset_subdir,
+        synthetic_data_dir=args.synthetic_data_dir,
+        target_size=target_size,
+    )
+    gen_cfg = GenerateConfig(
+        batch_size=args.batch_size,
+        target_size=target_size,
+        generator_checkpoint_name=args.generator_checkpoint_name,
+        gan_checkpoint_dir=args.gan_checkpoint_dir,
+        synthetic_data_dir=args.synthetic_data_dir,
+    )
+    from gan_aug_pfa_tpu.pipelines import run_generate_synthetic
+
+    run_generate_synthetic(data_cfg, gen_cfg)
+
+
+if __name__ == "__main__":
+    main()

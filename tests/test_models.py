@@ -1,0 +1,79 @@
+"""Model golden tests: exact parameter counts and I/O shapes from BASELINE.md
+(SiameseUNet 41,160,525; UNetGenerator 41,828,995; NLayerDiscriminator
+2,768,705; D output 30x30 patch map)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gan_aug_pfa_tpu.models import (
+    NLayerDiscriminator,
+    SiameseUNet,
+    UNetGenerator,
+)
+
+
+def n_params(variables):
+    return sum(x.size for x in jax.tree.leaves(variables["params"]))
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return jax.random.PRNGKey(0)
+
+
+def test_siamese_unet_param_count_and_shape(rng):
+    m = SiameseUNet(n_channels=3, n_classes=1)
+    x = jnp.zeros((2, 32, 32, 3))
+    v = m.init(rng, x, x, train=False)
+    assert n_params(v) == 41_160_525
+    out = m.apply(v, x, x, train=False)
+    assert out.shape == (2, 32, 32, 1)
+    assert out.dtype == jnp.float32
+
+
+def test_siamese_unet_train_mode_updates_batch_stats(rng):
+    m = SiameseUNet(3, 1)
+    x = jax.random.normal(rng, (2, 32, 32, 3))
+    v = m.init(rng, x, x, train=False)
+    out, mutated = m.apply(v, x, x, train=True, mutable=["batch_stats"])
+    # Running stats must move away from init (two encoder passes both count).
+    before = jax.tree.leaves(v["batch_stats"])
+    after = jax.tree.leaves(mutated["batch_stats"])
+    assert any(
+        not jnp.allclose(a, b) for a, b in zip(before, after)
+    )
+
+
+def test_generator_param_count_and_range(rng):
+    g = UNetGenerator(input_nc=3, output_nc=3)
+    x = jax.random.normal(rng, (1, 128, 128, 3))
+    v = g.init(rng, x, train=False)
+    assert n_params(v) == 41_828_995
+    out = g.apply(v, x, train=False)
+    assert out.shape == (1, 128, 128, 3)
+    # tanh output in [-1, 1]
+    assert jnp.all(out >= -1.0) and jnp.all(out <= 1.0)
+
+
+def test_discriminator_param_count_and_patch_shape(rng):
+    d = NLayerDiscriminator(input_nc=6)
+    # 256x256 input -> the golden 30x30 patch-logit map (BASELINE.md).
+    v = d.init(rng, jnp.zeros((1, 256, 256, 6)), train=False)
+    assert n_params(v) == 2_768_705
+    out = d.apply(v, jnp.zeros((1, 256, 256, 6)), train=False)
+    assert out.shape == (1, 30, 30, 1)
+
+
+def test_siamese_shared_encoder_is_symmetric(rng):
+    """Swapping inputs must swap which branch sees what, with identical
+    encoder weights (weight sharing is structural)."""
+    m = SiameseUNet(3, 1)
+    a = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    v = m.init(rng, a, a, train=False)
+    out_same = m.apply(v, a, a, train=False)
+    assert out_same.shape == (1, 32, 32, 1)
+    # One parameter set only (no _2 copies): encoder param tree has exactly
+    # the 5 down blocks.
+    enc_keys = [k for k in v["params"] if k.startswith("dconv_down")]
+    assert len(enc_keys) == 4

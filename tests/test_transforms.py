@@ -1,0 +1,153 @@
+"""Property tests for the device-side joint augmentation chain
+(reference dataset.py:21-193 semantics; see data/transforms.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_aug_pfa_tpu.data import transforms as T
+
+RNG = np.random.RandomState(0)
+H = W = 24
+IMG1 = jnp.asarray(RNG.rand(H, W, 3).astype(np.float32))
+IMG2 = jnp.asarray(RNG.rand(H, W, 3).astype(np.float32))
+LABEL = jnp.asarray((RNG.rand(H, W) > 0.7).astype(np.int32))
+
+
+def test_normalize_range():
+    out = T.normalize(IMG1)
+    assert float(out.min()) >= -1.0 and float(out.max()) <= 1.0
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(IMG1) * 2 - 1, rtol=1e-6
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_label_stays_binary(seed):
+    _, _, lbl = T.augment_sample(
+        jax.random.PRNGKey(seed), IMG1, IMG2, LABEL
+    )
+    vals = np.unique(np.asarray(lbl))
+    assert set(vals).issubset({0, 1})
+
+
+def test_deterministic_given_key():
+    a = T.augment_sample(jax.random.PRNGKey(5), IMG1, IMG2, LABEL)
+    b = T.augment_sample(jax.random.PRNGKey(5), IMG1, IMG2, LABEL)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_different_keys_differ():
+    a, _, _ = T.augment_sample(jax.random.PRNGKey(1), IMG1, IMG2, LABEL)
+    b, _, _ = T.augment_sample(jax.random.PRNGKey(2), IMG1, IMG2, LABEL)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_geometric_congruence_img_vs_label():
+    """A label painted as a copy of an image channel must stay aligned with
+    that channel through the SHARED geometric ops.  Use a config with no
+    photometric changes and nearest resampling everywhere to compare."""
+    cfg = T.AugmentConfig(jitter=0.0, blur_sigma_min=1e-6,
+                          blur_sigma_max=1e-6)
+    # Blocky mask (4x4 blocks) so bilinear-vs-nearest edge effects are a
+    # small fraction of pixels.
+    mask = np.kron(
+        (RNG.rand(H // 4, W // 4) > 0.5), np.ones((4, 4))
+    ).astype(np.float32)
+    img = jnp.asarray(np.stack([mask] * 3, -1))
+    lbl = jnp.asarray(mask.astype(np.int32))
+    for seed in range(4):
+        out1, _, out_lbl = T.augment_sample(
+            jax.random.PRNGKey(seed), img, img, lbl, cfg
+        )
+        img_bin = (np.asarray(out1[..., 0]) * 0.5 + 0.5) > 0.5
+        lbl_bin = np.asarray(out_lbl) > 0
+        # Bilinear (img) vs nearest (label) differ only near edges; overlap
+        # must still be overwhelming.
+        agree = (img_bin == lbl_bin).mean()
+        assert agree > 0.93, f"seed {seed}: agreement {agree}"
+
+
+def test_flips_are_shared_between_images():
+    """With geometry-only config and identical inputs, outputs must stay
+    identical (all geometric params are shared across img1/img2)."""
+    cfg = T.AugmentConfig(jitter=0.0, blur_sigma_min=1e-6,
+                          blur_sigma_max=1e-6)
+    for seed in range(4):
+        o1, o2, _ = T.augment_sample(
+            jax.random.PRNGKey(seed), IMG1, IMG1, LABEL, cfg
+        )
+        np.testing.assert_allclose(
+            np.asarray(o1), np.asarray(o2), atol=1e-6
+        )
+
+
+def test_color_jitter_is_independent_per_image():
+    cfg = T.AugmentConfig(degrees=0.0, translate=0.0, scale_min=1.0,
+                          scale_max=1.0, shear=0.0, jitter=0.5,
+                          blur_sigma_min=1e-6, blur_sigma_max=1e-6,
+                          rotation_degrees=0.0)
+    o1, o2, _ = T.augment_sample(
+        jax.random.PRNGKey(3), IMG1, IMG1, LABEL, cfg
+    )
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_identity_config_is_normalize_only():
+    cfg = T.AugmentConfig(degrees=0.0, translate=0.0, scale_min=1.0,
+                          scale_max=1.0, shear=0.0, jitter=0.0,
+                          blur_sigma_min=1e-6, blur_sigma_max=1e-6,
+                          rotation_degrees=0.0, flip_prob=0.0)
+    o1, o2, lbl = T.augment_sample(
+        jax.random.PRNGKey(0), IMG1, IMG2, LABEL, cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1), np.asarray(IMG1) * 2 - 1, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(lbl), np.asarray(LABEL))
+
+
+def test_augment_batch_shapes():
+    b1 = jnp.stack([IMG1, IMG2])
+    b2 = jnp.stack([IMG2, IMG1])
+    bl = jnp.stack([LABEL, LABEL])
+    o1, o2, ol = T.augment_batch(jax.random.PRNGKey(0), b1, b2, bl)
+    assert o1.shape == b1.shape and ol.shape == bl.shape
+    # Per-sample keys: the two samples get different augmentations.
+    assert not np.allclose(np.asarray(o1[0]), np.asarray(o1[1]))
+
+
+def test_color_jitter_matches_torch_formulas():
+    """adjust_* match torchvision's tensor formulas."""
+    import torch
+    import torch as th
+
+    img = RNG.rand(8, 8, 3).astype(np.float32)
+    t = torch.from_numpy(img).permute(2, 0, 1)
+
+    # brightness
+    ours = np.asarray(T.adjust_brightness(jnp.asarray(img), 1.3))
+    ref = (t * 1.3).clamp(0, 1).permute(1, 2, 0).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    # saturation: blend with grayscale
+    f = 0.7
+    gray = (0.2989 * t[0] + 0.587 * t[1] + 0.114 * t[2]).unsqueeze(0)
+    ref = (gray * (1 - f) + t * f).clamp(0, 1).permute(1, 2, 0).numpy()
+    ours = np.asarray(T.adjust_saturation(jnp.asarray(img), f))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    # contrast: blend with mean of grayscale
+    f = 1.2
+    mean = gray.mean()
+    ref = (mean * (1 - f) + t * f).clamp(0, 1).permute(1, 2, 0).numpy()
+    ours = np.asarray(T.adjust_contrast(jnp.asarray(img), f))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_gaussian_blur_preserves_mean_roughly():
+    out = T.gaussian_blur3(IMG1, 0.8)
+    assert abs(float(out.mean()) - float(IMG1.mean())) < 0.01
+    assert float(out.var()) < float(IMG1.var())  # smoothing reduces variance

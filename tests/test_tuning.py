@@ -1,0 +1,127 @@
+"""ministudy: Optuna-API-compatible tuning engine tests."""
+
+import math
+import os
+
+import pytest
+
+from gan_aug_pfa_tpu.tuning import ministudy
+from gan_aug_pfa_tpu.tuning.ministudy import (
+    MedianPruner,
+    TrialPruned,
+    TrialState,
+    create_study,
+    load_study,
+)
+
+
+def test_optimize_and_best_trial(tmp_path):
+    storage = f"sqlite:///{tmp_path}/s.db"
+    study = create_study(study_name="t", storage=storage,
+                         direction="minimize", load_if_exists=True,
+                         sampler_seed=0)
+
+    def objective(trial):
+        x = trial.suggest_float("x", -5.0, 5.0)
+        return (x - 1.0) ** 2
+
+    study.optimize(objective, n_trials=30)
+    assert len(study.trials) == 30
+    assert all(t.state == TrialState.COMPLETE for t in study.trials)
+    best = study.best_trial
+    assert best.value == min(t.value for t in study.trials)
+    assert abs(best.params["x"] - 1.0) < 2.0
+
+
+def test_persistence_and_load_if_exists(tmp_path):
+    storage = f"sqlite:///{tmp_path}/p.db"
+    s1 = create_study(study_name="persist", storage=storage,
+                      load_if_exists=True, sampler_seed=0)
+    s1.optimize(lambda t: t.suggest_float("x", 0, 1), n_trials=5)
+    # Reopen: trials continue numbering from the stored study.
+    s2 = create_study(study_name="persist", storage=storage,
+                      load_if_exists=True, sampler_seed=1)
+    assert len(s2.trials) == 5
+    s2.optimize(lambda t: t.suggest_float("x", 0, 1), n_trials=3)
+    assert len(s2.trials) == 8
+    assert [t.number for t in s2.trials] == list(range(8))
+    # load_study view
+    s3 = load_study(study_name="persist", storage=storage)
+    assert len(s3.trials) == 8
+
+
+def test_duplicate_study_without_load_if_exists(tmp_path):
+    storage = f"sqlite:///{tmp_path}/d.db"
+    create_study(study_name="dup", storage=storage, load_if_exists=True)
+    with pytest.raises(ValueError):
+        create_study(study_name="dup", storage=storage, load_if_exists=False)
+
+
+def test_suggest_types_and_ranges(tmp_path):
+    study = create_study(study_name="ranges", storage=None, sampler_seed=3)
+
+    seen = {}
+
+    def objective(trial):
+        seen["log"] = trial.suggest_loguniform("lr", 1e-5, 5e-3)
+        seen["cat"] = trial.suggest_categorical("bs", [2, 4, 8])
+        seen["f"] = trial.suggest_float("a", 0.1, 0.9)
+        seen["i"] = trial.suggest_int("n", 1, 5)
+        return 0.0
+
+    study.optimize(objective, n_trials=10)
+    assert 1e-5 <= seen["log"] <= 5e-3
+    assert seen["cat"] in (2, 4, 8)
+    assert 0.1 <= seen["f"] <= 0.9
+    assert 1 <= seen["i"] <= 5
+    assert isinstance(seen["i"], int)
+    # Params persisted with correct types.
+    t = study.trials[-1]
+    assert t.params["bs"] in (2, 4, 8)
+
+
+def test_pruning_flow(tmp_path):
+    pruner = MedianPruner(n_startup_trials=2, n_warmup_steps=0,
+                          interval_steps=1)
+    study = create_study(study_name="prune", storage=None, pruner=pruner,
+                         sampler_seed=0)
+
+    def objective(trial):
+        base = trial.suggest_float("x", 0.0, 1.0)
+        for step in range(5):
+            trial.report(base, step)
+            if trial.should_prune():
+                raise TrialPruned()
+        return base
+
+    study.optimize(objective, n_trials=20)
+    states = {t.state for t in study.trials}
+    assert TrialState.COMPLETE in states
+    assert TrialState.PRUNED in states  # bad trials get pruned vs median
+
+
+def test_failed_trial_recorded(tmp_path):
+    study = create_study(study_name="fail", storage=None)
+
+    def objective(trial):
+        trial.suggest_float("x", 0, 1)
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        study.optimize(objective, n_trials=1)
+    assert study.trials[0].state == TrialState.FAIL
+
+
+def test_guided_sampling_improves(tmp_path):
+    """After enough history the TPE-style sampler should concentrate
+    samples near the optimum more than pure random."""
+    study = create_study(study_name="guided", storage=None, sampler_seed=7)
+
+    def objective(trial):
+        x = trial.suggest_float("x", 0.0, 10.0)
+        return abs(x - 2.0)
+
+    study.optimize(objective, n_trials=60)
+    last20 = [t.params["x"] for t in study.trials[-20:]]
+    mean_dist = sum(abs(x - 2.0) for x in last20) / len(last20)
+    assert mean_dist < 2.5  # pure uniform would average ~3.6

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Train the Siamese Attention U-Net for change detection (TPU-native).
+
+CLI contract identical to the reference train.py:325-337:
+  python train.py [--root-dir D] [--dataset-subdir S] [--synthetic-data-dir S]
+                  [--checkpoint-dir D] [--batch-size N] [--num-epochs N]
+                  [--learning-rate F] [--target-size HxW] [--save-every N]
+                  [--use-synthetic] [--tune]
+plus TPU-build extensions: --augment, --resume, --seed, --compute-dtype,
+--no-data-parallel, --n-trials (flagged as additions, defaults preserve
+reference behavior — including the reference's augment=False main-training
+quirk, SURVEY.md §2 #16).
+"""
+
+import argparse
+
+from gan_aug_pfa_tpu.config import (
+    DATASET_SUBDIR_DEFAULT,
+    SYNTHETIC_DATA_DIR_DEFAULT,
+    DataConfig,
+    SiameseTrainConfig,
+    parse_target_size,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Train Siamese U-Net for Change Detection"
+    )
+    p.add_argument("--root-dir", type=str, default=".",
+                   help="Root project directory")
+    p.add_argument("--dataset-subdir", type=str,
+                   default=DATASET_SUBDIR_DEFAULT,
+                   help="Subdirectory for the Onera dataset")
+    p.add_argument("--synthetic-data-dir", type=str,
+                   default=SYNTHETIC_DATA_DIR_DEFAULT,
+                   help="Directory for synthetic data")
+    p.add_argument("--checkpoint-dir", type=str,
+                   default="siamese_checkpoints",
+                   help="Directory to save model checkpoints")
+    p.add_argument("--batch-size", type=int, default=4,
+                   help="Training batch size")
+    p.add_argument("--num-epochs", type=int, default=50,
+                   help="Number of training epochs")
+    p.add_argument("--learning-rate", type=float,
+                   default=0.00010152447097322304,
+                   help="Initial learning rate")
+    p.add_argument("--target-size", type=str, default="128x128",
+                   help="Target image size HxW (e.g., 128x128)")
+    p.add_argument("--save-every", type=int, default=5,
+                   help="Save checkpoint every N epochs")
+    p.add_argument("--use-synthetic", action="store_true",
+                   help="Include synthetic data during training")
+    p.add_argument("--tune", action="store_true",
+                   help="Run hyperparameter tuning")
+    # TPU-build extensions:
+    p.add_argument("--augment", action="store_true",
+                   help="[extension] enable joint augmentation in main "
+                        "training (the reference only augments under --tune)")
+    p.add_argument("--resume", action="store_true",
+                   help="[extension] resume from the last saved state")
+    p.add_argument("--seed", type=int, default=0, help="[extension] PRNG seed")
+    p.add_argument("--compute-dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="[extension] model compute dtype")
+    p.add_argument("--no-data-parallel", action="store_true",
+                   help="[extension] disable multi-device data parallelism")
+    p.add_argument("--n-trials", type=int, default=50,
+                   help="[extension] number of tuning trials for --tune")
+    return p
+
+
+def main() -> None:
+    args = build_parser().parse_args()
+    try:
+        target_size = parse_target_size(args.target_size)
+    except ValueError:
+        print("Error: target_size must be in format HxW (e.g., 128x128)")
+        return
+    data_cfg = DataConfig(
+        root_dir=args.root_dir,
+        dataset_subdir=args.dataset_subdir,
+        synthetic_data_dir=args.synthetic_data_dir,
+        target_size=target_size,
+        use_synthetic=args.use_synthetic,
+        augment=args.augment,
+    )
+    if args.tune:
+        from gan_aug_pfa_tpu.tune import run_tuning
+
+        run_tuning(data_cfg, n_trials=args.n_trials)
+        return
+    train_cfg = SiameseTrainConfig(
+        batch_size=args.batch_size,
+        num_epochs=args.num_epochs,
+        learning_rate=args.learning_rate,
+        checkpoint_dir=args.checkpoint_dir,
+        save_every=args.save_every,
+        seed=args.seed,
+        compute_dtype=args.compute_dtype,
+        data_parallel=not args.no_data_parallel,
+        resume=args.resume,
+    )
+    from gan_aug_pfa_tpu.parallel.mesh import maybe_distributed_init
+    from gan_aug_pfa_tpu.pipelines import run_siamese_training
+
+    maybe_distributed_init()
+    run_siamese_training(data_cfg, train_cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Train the Pix2Pix GAN for change-data augmentation (TPU-native).
+
+The reference train_gan.py has NO argparse (module constants only,
+train_gan.py:17-35); invocation compatibility is `python train_gan.py`.
+This build adds flags for everything that was a hardcoded constant
+(defaults identical to the reference's constants).
+"""
+
+import argparse
+
+from gan_aug_pfa_tpu.config import (
+    DATASET_SUBDIR_DEFAULT,
+    DataConfig,
+    GANTrainConfig,
+    parse_target_size,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Train Pix2Pix GAN for change-data augmentation"
+    )
+    p.add_argument("--root-dir", type=str, default=".")
+    p.add_argument("--dataset-subdir", type=str,
+                   default=DATASET_SUBDIR_DEFAULT)
+    p.add_argument("--checkpoint-dir", type=str, default="gan_checkpoints")
+    p.add_argument("--output-dir", type=str, default="gan_samples")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--num-epochs", type=int, default=200)
+    p.add_argument("--learning-rate-g", type=float, default=1e-4)
+    p.add_argument("--learning-rate-d", type=float, default=1e-4)
+    p.add_argument("--beta1", type=float, default=0.5)
+    p.add_argument("--lambda-l1", type=float, default=100.0)
+    p.add_argument("--target-size", type=str, default="256x256")
+    p.add_argument("--save-every", type=int, default=10)
+    p.add_argument("--sample-every", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute-dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--no-data-parallel", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    return p
+
+
+def main() -> None:
+    args = build_parser().parse_args()
+    target_size = parse_target_size(args.target_size)
+    data_cfg = DataConfig(
+        root_dir=args.root_dir,
+        dataset_subdir=args.dataset_subdir,
+        target_size=target_size,
+    )
+    gan_cfg = GANTrainConfig(
+        batch_size=args.batch_size,
+        num_epochs=args.num_epochs,
+        learning_rate_g=args.learning_rate_g,
+        learning_rate_d=args.learning_rate_d,
+        beta1=args.beta1,
+        lambda_l1=args.lambda_l1,
+        target_size=target_size,
+        save_every=args.save_every,
+        sample_every=args.sample_every,
+        checkpoint_dir=args.checkpoint_dir,
+        output_dir=args.output_dir,
+        seed=args.seed,
+        compute_dtype=args.compute_dtype,
+        data_parallel=not args.no_data_parallel,
+        resume=args.resume,
+    )
+    from gan_aug_pfa_tpu.parallel.mesh import maybe_distributed_init
+    from gan_aug_pfa_tpu.pipelines import run_gan_training
+
+    maybe_distributed_init()
+    run_gan_training(data_cfg, gan_cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,16 @@ class SiameseTrainConfig:
     compute_dtype: str = "bfloat16"  # MXU-friendly; params stay fp32
     data_parallel: bool = True
     resume: bool = False  # resume-from-checkpoint (reference lacks this)
+    # Pallas kernel opt-ins (ops/pallas_kernels/).  Numerically identical to
+    # the default XLA paths (tests/test_pallas.py proves it in interpret
+    # mode); OFF by default because XLA's own fusion is already at parity at
+    # the reference's 128px workload and the current axon TPU tunnel is
+    # unstable under Mosaic kernel launches (hangs observed 2026-08-16).
+    fused_loss: bool = False
+    pallas_augment: bool = False
+    # Observability (SURVEY.md §5.1-5.2 — absent in the reference):
+    profile_dir: Optional[str] = None  # jax.profiler trace output dir
+    debug_nans: bool = False  # jax_debug_nans numeric sanitizer
 
 
 @dataclasses.dataclass
@@ -89,6 +99,8 @@ class GANTrainConfig:
     compute_dtype: str = "bfloat16"
     data_parallel: bool = True
     resume: bool = False
+    profile_dir: Optional[str] = None
+    debug_nans: bool = False
 
 
 @dataclasses.dataclass

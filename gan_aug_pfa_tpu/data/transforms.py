@@ -169,15 +169,10 @@ _JITTER_ORDERS = (
 )
 
 
-def color_jitter(rng, img, strength: float):
-    """Brightness/contrast/saturation jitter with factors ~U(1-s, 1+s),
-    applied in a random order (torchvision ColorJitter semantics)."""
-    k_f, k_o = jax.random.split(rng)
-    lo = max(0.0, 1.0 - strength)
-    factors = jax.random.uniform(
-        k_f, (3,), minval=lo, maxval=1.0 + strength
-    )
-    order_idx = jax.random.randint(k_o, (), 0, 6)
+def apply_color_jitter(img, factors, order_idx):
+    """Brightness/contrast/saturation with explicit factors (3,) applied in
+    the order _JITTER_ORDERS[order_idx] (torchvision ColorJitter semantics:
+    each op recomputes from the current value)."""
 
     def apply_op(i, img):
         return jax.lax.switch(
@@ -200,6 +195,22 @@ def color_jitter(rng, img, strength: float):
     return jax.lax.switch(
         order_idx, [apply_order(p) for p in _JITTER_ORDERS], img
     )
+
+
+def _sample_jitter_params(rng, strength: float):
+    k_f, k_o = jax.random.split(rng)
+    lo = max(0.0, 1.0 - strength)
+    factors = jax.random.uniform(
+        k_f, (3,), minval=lo, maxval=1.0 + strength
+    )
+    order_idx = jax.random.randint(k_o, (), 0, 6)
+    return factors, order_idx
+
+
+def color_jitter(rng, img, strength: float):
+    """Jitter with factors ~U(1-s, 1+s) in a random order."""
+    factors, order_idx = _sample_jitter_params(rng, strength)
+    return apply_color_jitter(img, factors, order_idx)
 
 
 def gaussian_blur3(img: jnp.ndarray, sigma) -> jnp.ndarray:
@@ -227,6 +238,112 @@ def normalize(img: jnp.ndarray) -> jnp.ndarray:
     return img * 2.0 - 1.0
 
 
+def sample_augment_params(
+    rng: jax.Array, h: int, w: int, cfg: AugmentConfig = AugmentConfig()
+) -> dict:
+    """Draw every random parameter of the augmentation chain for one sample.
+
+    Sampling is separated from application so the jnp path and the Pallas
+    fused photometric kernel (ops/pallas_kernels/photometric.py) consume
+    IDENTICAL parameters and can be tested for equality."""
+    keys = jax.random.split(rng, 10)
+    max_dx, max_dy = cfg.translate * w, cfg.translate * h
+    k21, k22 = jax.random.split(keys[5])
+    factors1, order1 = _sample_jitter_params(k21, cfg.jitter)
+    factors2, order2 = _sample_jitter_params(k22, cfg.jitter)
+    k31, k32 = jax.random.split(keys[6])
+    return {
+        "angle": jax.random.uniform(
+            keys[0], (), minval=-cfg.degrees, maxval=cfg.degrees
+        ),
+        "tx": jnp.round(jax.random.uniform(
+            keys[1], (), minval=-max_dx, maxval=max_dx
+        )),
+        "ty": jnp.round(jax.random.uniform(
+            keys[2], (), minval=-max_dy, maxval=max_dy
+        )),
+        "scale": jax.random.uniform(
+            keys[3], (), minval=cfg.scale_min, maxval=cfg.scale_max
+        ),
+        "shear": jax.random.uniform(
+            keys[4], (), minval=-cfg.shear, maxval=cfg.shear
+        ),
+        "factors1": factors1,
+        "order1": order1,
+        "factors2": factors2,
+        "order2": order2,
+        "sigma1": jax.random.uniform(
+            k31, (), minval=cfg.blur_sigma_min, maxval=cfg.blur_sigma_max
+        ),
+        "sigma2": jax.random.uniform(
+            k32, (), minval=cfg.blur_sigma_min, maxval=cfg.blur_sigma_max
+        ),
+        "do_h": jax.random.uniform(keys[7]) < cfg.flip_prob,
+        "do_v": jax.random.uniform(keys[8]) < cfg.flip_prob,
+        "rot": jax.random.uniform(
+            keys[9], (), minval=-cfg.rotation_degrees,
+            maxval=cfg.rotation_degrees,
+        ),
+    }
+
+
+def _apply_geometric_pre(img1, img2, label, p):
+    """Stage 1: the shared joint affine (bilinear imgs / nearest label)."""
+    img1 = affine_warp(
+        img1, p["angle"], (p["tx"], p["ty"]), p["scale"], p["shear"],
+        "bilinear",
+    )
+    img2 = affine_warp(
+        img2, p["angle"], (p["tx"], p["ty"]), p["scale"], p["shear"],
+        "bilinear",
+    )
+    if label is not None:
+        label = _warp_label(
+            label, p["angle"], (p["tx"], p["ty"]), p["scale"], p["shear"]
+        )
+    return img1, img2, label
+
+
+def _apply_photometric_flip_one(img, factors, order, sigma, do_h, do_v):
+    """Stages 2-4 for one image: jitter, blur, shared flips (the jnp
+    reference for the Pallas fused kernel)."""
+    img = apply_color_jitter(img, factors, order)
+    img = gaussian_blur3(img, sigma)
+    img = jnp.where(do_h, img[:, ::-1], img)
+    return jnp.where(do_v, img[::-1], img)
+
+
+def _apply_label_flips(label, do_h, do_v):
+    label = jnp.where(do_h, label[:, ::-1], label)
+    return jnp.where(do_v, label[::-1], label)
+
+
+def _apply_geometric_post(img1, img2, label, p):
+    """Stage 5-6: shared rotation (NEAREST for images AND label —
+    torchvision TF.rotate default, reference dataset.py:71-77), then the
+    [-1,1] normalize."""
+    zero = jnp.zeros(())
+    img1 = affine_warp(img1, p["rot"], (zero, zero), 1.0, 0.0, "nearest")
+    img2 = affine_warp(img2, p["rot"], (zero, zero), 1.0, 0.0, "nearest")
+    if label is not None:
+        label = _warp_label(label, p["rot"], (zero, zero), 1.0, 0.0)
+    return normalize(img1), normalize(img2), label
+
+
+def apply_augment_sample(img1, img2, label, p):
+    """The full chain for ONE sample given explicit params (jnp path)."""
+    img1, img2, label = _apply_geometric_pre(img1, img2, label, p)
+    img1 = _apply_photometric_flip_one(
+        img1, p["factors1"], p["order1"], p["sigma1"], p["do_h"], p["do_v"]
+    )
+    img2 = _apply_photometric_flip_one(
+        img2, p["factors2"], p["order2"], p["sigma2"], p["do_h"], p["do_v"]
+    )
+    if label is not None:
+        label = _apply_label_flips(label, p["do_h"], p["do_v"])
+    return _apply_geometric_post(img1, img2, label, p)
+
+
 def augment_sample(
     rng: jax.Array,
     img1: jnp.ndarray,
@@ -236,70 +353,8 @@ def augment_sample(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Full augment=True chain for ONE sample (imgs HWC [0,1], label HW int).
     Returns images in [-1,1] and the (still-binary) label."""
-    h, w = img1.shape[0], img1.shape[1]
-    keys = jax.random.split(rng, 10)
-
-    # 1. Joint affine (shared params).
-    angle = jax.random.uniform(
-        keys[0], (), minval=-cfg.degrees, maxval=cfg.degrees
-    )
-    max_dx, max_dy = cfg.translate * w, cfg.translate * h
-    tx = jnp.round(
-        jax.random.uniform(keys[1], (), minval=-max_dx, maxval=max_dx)
-    )
-    ty = jnp.round(
-        jax.random.uniform(keys[2], (), minval=-max_dy, maxval=max_dy)
-    )
-    scale = jax.random.uniform(
-        keys[3], (), minval=cfg.scale_min, maxval=cfg.scale_max
-    )
-    shear = jax.random.uniform(
-        keys[4], (), minval=-cfg.shear, maxval=cfg.shear
-    )
-    img1 = affine_warp(img1, angle, (tx, ty), scale, shear, "bilinear")
-    img2 = affine_warp(img2, angle, (tx, ty), scale, shear, "bilinear")
-    if label is not None:
-        label = _warp_label(label, angle, (tx, ty), scale, shear)
-
-    # 2. Color jitter (independent per image).
-    k21, k22 = jax.random.split(keys[5])
-    img1 = color_jitter(k21, img1, cfg.jitter)
-    img2 = color_jitter(k22, img2, cfg.jitter)
-
-    # 3. Gaussian blur (independent sigma per image).
-    k31, k32 = jax.random.split(keys[6])
-    sig1 = jax.random.uniform(
-        k31, (), minval=cfg.blur_sigma_min, maxval=cfg.blur_sigma_max
-    )
-    sig2 = jax.random.uniform(
-        k32, (), minval=cfg.blur_sigma_min, maxval=cfg.blur_sigma_max
-    )
-    img1 = gaussian_blur3(img1, sig1)
-    img2 = gaussian_blur3(img2, sig2)
-
-    # 4. Shared flips.
-    do_h = jax.random.uniform(keys[7]) < cfg.flip_prob
-    do_v = jax.random.uniform(keys[8]) < cfg.flip_prob
-    img1 = jnp.where(do_h, img1[:, ::-1], img1)
-    img2 = jnp.where(do_h, img2[:, ::-1], img2)
-    img1 = jnp.where(do_v, img1[::-1], img1)
-    img2 = jnp.where(do_v, img2[::-1], img2)
-    if label is not None:
-        label = jnp.where(do_h, label[:, ::-1], label)
-        label = jnp.where(do_v, label[::-1], label)
-
-    # 5. Shared rotation, NEAREST for images and label (torchvision
-    #    TF.rotate default — reference dataset.py:71-77).
-    rot = jax.random.uniform(
-        keys[9], (), minval=-cfg.rotation_degrees, maxval=cfg.rotation_degrees
-    )
-    zero = jnp.zeros(())
-    img1 = affine_warp(img1, rot, (zero, zero), 1.0, 0.0, "nearest")
-    img2 = affine_warp(img2, rot, (zero, zero), 1.0, 0.0, "nearest")
-    if label is not None:
-        label = _warp_label(label, rot, (zero, zero), 1.0, 0.0)
-
-    return normalize(img1), normalize(img2), label
+    p = sample_augment_params(rng, img1.shape[0], img1.shape[1], cfg)
+    return apply_augment_sample(img1, img2, label, p)
 
 
 def _warp_label(label, angle, translate_xy, scale, shear):
@@ -309,18 +364,63 @@ def _warp_label(label, angle, translate_xy, scale, shear):
     return _sample_nearest(label, ys, xs)
 
 
-def augment_batch(rng, img1, img2, labels, cfg=AugmentConfig()):
-    """vmapped augment over a batch: (B,H,W,C) imgs, (B,H,W) labels."""
-    keys = jax.random.split(rng, img1.shape[0])
-    if labels is None:
-        def one(k, a, b):
-            i1, i2, _ = augment_sample(k, a, b, None, cfg)
-            return i1, i2
-        i1, i2 = jax.vmap(one)(keys, img1, img2)
-        return i1, i2, None
+def _pack_photometric_params(factors, order, sigma, do_h, do_v):
+    """Pack per-sample photometric params into the (B, 8) SMEM rows the
+    Pallas kernel reads: [b, c, s, order, sigma, flip_h, flip_v, 0]."""
+    b = factors.shape[0]
+    return jnp.concatenate(
+        [
+            factors.astype(jnp.float32),
+            order.astype(jnp.float32)[:, None],
+            sigma.astype(jnp.float32)[:, None],
+            do_h.astype(jnp.float32)[:, None],
+            do_v.astype(jnp.float32)[:, None],
+            jnp.zeros((b, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def augment_batch(rng, img1, img2, labels, cfg=AugmentConfig(),
+                  use_pallas: bool = False):
+    """Batched augment: (B,H,W,C) imgs, (B,H,W) labels (or None).
+
+    use_pallas=True routes stages 2-4 (jitter/blur/flips) through the fused
+    Pallas kernel (ops/pallas_kernels/photometric.py); the default jnp path
+    is numerically identical — both consume the same sampled params."""
+    b, h, w = img1.shape[0], img1.shape[1], img1.shape[2]
+    keys = jax.random.split(rng, b)
+    p = jax.vmap(lambda k: sample_augment_params(k, h, w, cfg))(keys)
+
+    has_labels = labels is not None
+    i1, i2, labels = jax.vmap(
+        _apply_geometric_pre, in_axes=(0, 0, 0 if has_labels else None, 0)
+    )(img1, img2, labels, p)
+
+    if use_pallas:
+        from ..ops.pallas_kernels import photometric_flip_batch
+
+        par1 = _pack_photometric_params(
+            p["factors1"], p["order1"], p["sigma1"], p["do_h"], p["do_v"]
+        )
+        par2 = _pack_photometric_params(
+            p["factors2"], p["order2"], p["sigma2"], p["do_h"], p["do_v"]
+        )
+        i1 = photometric_flip_batch(i1, par1)
+        i2 = photometric_flip_batch(i2, par2)
+    else:
+        i1 = jax.vmap(_apply_photometric_flip_one)(
+            i1, p["factors1"], p["order1"], p["sigma1"], p["do_h"], p["do_v"]
+        )
+        i2 = jax.vmap(_apply_photometric_flip_one)(
+            i2, p["factors2"], p["order2"], p["sigma2"], p["do_h"], p["do_v"]
+        )
+    if has_labels:
+        labels = jax.vmap(_apply_label_flips)(labels, p["do_h"], p["do_v"])
+
     return jax.vmap(
-        lambda k, a, b, l: augment_sample(k, a, b, l, cfg)
-    )(keys, img1, img2, labels)
+        _apply_geometric_post, in_axes=(0, 0, 0 if has_labels else None, 0)
+    )(i1, i2, labels, p)
 
 
 def eval_batch(img1, img2):

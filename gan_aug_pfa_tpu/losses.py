@@ -11,9 +11,10 @@ train_gan.py:42-43, with identical formulas:
 
 Everything is pure and jit-friendly; computation upcasts to float32 so the
 reductions are stable regardless of the model's compute dtype.  The fused
-focal+dice single-pass Pallas kernel lives in ops/pallas/fused_loss.py and is
-numerically equivalent (XLA already fuses these elementwise chains into the
-backward matmuls; the kernel exists for the HBM-bound large-resolution case).
+focal+dice single-pass Pallas kernel lives in ops/pallas_kernels/fused_loss.py
+and is numerically equivalent (XLA already fuses these elementwise chains into
+the backward matmuls; the kernel exists for the HBM-bound large-resolution
+case and is opt-in via SiameseTrainConfig.fused_loss).
 """
 
 from __future__ import annotations

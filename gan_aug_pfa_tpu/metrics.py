@@ -70,3 +70,15 @@ def per_sample_metrics(preds: jnp.ndarray, targets: jnp.ndarray
         return calculate_metrics(p, t)
 
     return jax.vmap(one)(preds, targets)
+
+
+def per_sample_metrics_pallas(preds: jnp.ndarray, targets: jnp.ndarray,
+                              smooth: float = 1e-6
+                              ) -> Dict[str, jnp.ndarray]:
+    """per_sample_metrics via the one-pass Pallas confusion-counts kernel
+    (ops/pallas_kernels/metrics.py) — (B, H, W) maps only; opt-in, same
+    numbers as the jnp path (tests/test_pallas.py)."""
+    from .ops.pallas_kernels import confusion_counts_batch
+
+    c = confusion_counts_batch(preds, targets)
+    return metrics_from_counts(c[:, 0], c[:, 1], c[:, 2], c[:, 3], smooth)

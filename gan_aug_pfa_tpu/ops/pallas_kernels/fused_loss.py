@@ -1,0 +1,177 @@
+"""Single-pass fused FocalDice loss as a Pallas TPU kernel with custom VJP.
+
+Numerics are identical to losses.focal_dice_loss (reference train.py:108-128):
+
+  bce   = softplus(x) - x*t
+  pt    = exp(-bce)
+  focal = mean(alpha_t * (1-pt)^gamma * bce),  alpha_t = t*a + (1-t)*(1-a)
+  dice  = 1 - (2*sum(p*t) + s) / (sum(p) + sum(t) + s),  p = sigmoid(x)
+  loss  = beta * focal + (1-beta) * dice
+
+Why a kernel: the forward is one VMEM-resident pass emitting four scalar
+reductions (sum focal, sum p*t, sum p, sum t) instead of the several
+intermediate HBM arrays XLA's autodiff path materializes, and the backward is
+a second single pass computing the analytic gradient
+
+  dfocal/dx = alpha_t * (p - t) * (g*(1-pt)^(g-1)*pt*bce + (1-pt)^g)
+  ddice/dx  = (2I + s - 2t*(P + T + s)) / (P + T + s)^2 * p*(1-p)
+
+from the three saved scalars (I, P, T) — no residual tensors beyond the
+inputs.  At the reference's 128x128 workload XLA's fusion is already close to
+this; the kernel wins on HBM traffic as resolution/batch grow.
+
+Preconditions: input fits in a single VMEM block (<= _MAX_ROWS x 128 f32).
+`fits()` reports this; callers fall back to the jnp path otherwise.  On CPU
+the kernel runs in interpret mode (exercised by tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_MAX_ROWS = 8192  # 4 MB per operand in f32 — comfortable in 16 MB VMEM.
+_PAD_LOGIT = -1e4  # sigmoid/softplus underflow to exactly 0.0 in f32.
+
+
+def fits(n_elements: int) -> bool:
+    return -(-n_elements // _LANES) <= _MAX_ROWS
+
+
+def _elementwise(x, t, gamma, alpha):
+    """Shared forward math on f32 blocks."""
+    p = jax.nn.sigmoid(x)
+    bce = jax.nn.softplus(x) - x * t
+    pt = jnp.exp(-bce)
+    alpha_t = t * alpha + (1.0 - t) * (1.0 - alpha)
+    focal = alpha_t * (1.0 - pt) ** gamma * bce
+    return p, bce, pt, alpha_t, focal
+
+
+@functools.lru_cache(maxsize=None)
+def _build(beta: float, gamma: float, alpha: float, smooth: float,
+           n_real: int, interpret: bool):
+    """Custom-VJP fused loss over a padded (rows, 128) f32 block pair."""
+
+    def fwd_kernel(x_ref, t_ref, sums_ref):
+        x = x_ref[:]
+        t = t_ref[:]
+        p, _, _, _, focal = _elementwise(x, t, gamma, alpha)
+        sums_ref[0, 0] = jnp.sum(focal)
+        sums_ref[0, 1] = jnp.sum(p * t)
+        sums_ref[0, 2] = jnp.sum(p)
+        sums_ref[0, 3] = jnp.sum(t)
+
+    def bwd_kernel(x_ref, t_ref, scal_ref, dx_ref):
+        x = x_ref[:]
+        t = t_ref[:]
+        inter = scal_ref[0, 0]
+        sum_p = scal_ref[0, 1]
+        sum_t = scal_ref[0, 2]
+        g_out = scal_ref[0, 3]
+        p, bce, pt, alpha_t, _ = _elementwise(x, t, gamma, alpha)
+        u = 1.0 - pt
+        dfocal = alpha_t * (p - t) * (
+            gamma * u ** (gamma - 1.0) * pt * bce + u ** gamma
+        )
+        denom = sum_p + sum_t + smooth
+        ddice = (2.0 * inter + smooth - 2.0 * t * denom) / (
+            denom * denom
+        ) * p * (1.0 - p)
+        dx_ref[:] = g_out * (
+            beta * dfocal / n_real + (1.0 - beta) * ddice
+        )
+
+    def run_fwd(x2d, t2d):
+        return pl.pallas_call(
+            fwd_kernel,
+            out_shape=jax.ShapeDtypeStruct((1, 4), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            interpret=interpret,
+        )(x2d, t2d)
+
+    def run_bwd(x2d, t2d, scalars):
+        return pl.pallas_call(
+            bwd_kernel,
+            out_shape=jax.ShapeDtypeStruct(x2d.shape, jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x2d, t2d, scalars)
+
+    def finalize(sums):
+        focal_mean = sums[0, 0] / n_real
+        dice = 1.0 - (2.0 * sums[0, 1] + smooth) / (
+            sums[0, 2] + sums[0, 3] + smooth
+        )
+        return beta * focal_mean + (1.0 - beta) * dice
+
+    @jax.custom_vjp
+    def loss(x2d, t2d):
+        return finalize(run_fwd(x2d, t2d))
+
+    def loss_fwd(x2d, t2d):
+        sums = run_fwd(x2d, t2d)
+        return finalize(sums), (x2d, t2d, sums)
+
+    def loss_bwd(res, g):
+        x2d, t2d, sums = res
+        scalars = jnp.stack(
+            [sums[0, 1], sums[0, 2], sums[0, 3],
+             jnp.asarray(g, jnp.float32)]
+        ).reshape(1, 4)
+        dx = run_bwd(x2d, t2d, scalars)
+        return dx, jnp.zeros_like(t2d)
+
+    loss.defvjp(loss_fwd, loss_bwd)
+    return loss
+
+
+def focal_dice_loss_fused(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    beta: float = 0.5,
+    focal_gamma: float = 2.0,
+    focal_alpha: float = 0.75,
+    dice_smooth: float = 1.0,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Drop-in fused replacement for losses.focal_dice_loss.
+
+    Pads the flattened input to (rows, 128) with logits of -1e4 / targets of
+    0 — exact zeros under sigmoid/softplus in f32, so padding contributes
+    nothing to any of the four reductions (the mean divides by the true
+    element count).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = logits.size
+    if not fits(n):
+        raise ValueError(
+            f"input too large for single-block fused loss ({n} elements); "
+            f"use losses.focal_dice_loss"
+        )
+    rows = max(-(-n // _LANES), 1)
+    pad = rows * _LANES - n
+    x = logits.astype(jnp.float32).reshape(-1)
+    t = targets.astype(jnp.float32).reshape(-1)
+    x = jnp.pad(x, (0, pad), constant_values=_PAD_LOGIT).reshape(rows, _LANES)
+    t = jnp.pad(t, (0, pad)).reshape(rows, _LANES)
+    fn = _build(
+        float(beta), float(focal_gamma), float(focal_alpha),
+        float(dice_smooth), int(n), bool(interpret),
+    )
+    return fn(x, t)

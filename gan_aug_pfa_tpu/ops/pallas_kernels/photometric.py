@@ -1,0 +1,135 @@
+"""Fused photometric augmentation + joint flips as a Pallas TPU kernel.
+
+One VMEM-resident pass per image applying, in the reference chain's order
+(reference dataset.py:103-134, 38-64 via BaseChangeDetectionDataset's
+transform list, dataset.py:172-193):
+
+  1. ColorJitter (brightness/contrast/saturation, random torchvision order);
+  2. 3x3 separable Gaussian blur, reflect padding;
+  3. horizontal / vertical flips (shared flags with the paired image+label).
+
+This is the BASELINE.json-named fused augmentation kernel: the five
+elementwise stages read and write HBM once instead of once per stage.  The
+geometric warps (affine, rotation) stay in XLA-land — they are gathers the
+MXU/VPU can't tile better than XLA's own lowering.
+
+Parameter protocol: all randomness is sampled OUTSIDE the kernel with
+jax.random (data/transforms.sample_augment_params), so the kernel is a pure
+function and bit-comparable with the jnp reference path.  Per-image params
+are packed into a (B, 8) f32 row read from SMEM:
+
+  [brightness, contrast, saturation, order_idx, sigma, flip_h, flip_v, pad]
+
+Layout: images are processed channels-first (B, 3, H, W) so the (H, W) axes
+land on the VPU's (sublane, lane) tiling; the NHWC<->NCHW transposes in the
+wrapper fuse into the surrounding program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_JITTER_ORDERS = (
+    (0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0),
+)
+
+
+def _gray(x):  # x: (3, H, W)
+    return 0.2989 * x[0] + 0.587 * x[1] + 0.114 * x[2]
+
+
+def _apply_jitter(x, factors, order_idx):
+    """torchvision ColorJitter on a (3, H, W) block: the three enhancement
+    ops in one of six orders, each recomputing from the current value."""
+
+    def brightness(x):
+        return jnp.clip(x * factors[0], 0.0, 1.0)
+
+    def contrast(x):
+        m = jnp.mean(_gray(x))
+        return jnp.clip(m * (1.0 - factors[1]) + x * factors[1], 0.0, 1.0)
+
+    def saturation(x):
+        g = _gray(x)[None]
+        return jnp.clip(g * (1.0 - factors[2]) + x * factors[2], 0.0, 1.0)
+
+    ops = [brightness, contrast, saturation]
+
+    def chain(perm):
+        def fn(x):
+            for i in perm:
+                x = ops[i](x)
+            return x
+        return fn
+
+    return jax.lax.switch(order_idx, [chain(p) for p in _JITTER_ORDERS], x)
+
+
+def _blur3(x, sigma):
+    """3x3 separable Gaussian, reflect padding, on a (3, H, W) block."""
+    w = jnp.exp(-0.5 / (sigma * sigma))
+    k1 = 1.0 / (1.0 + 2.0 * w)
+    k0 = w * k1
+    # Reflect-pad H (axis 1) then convolve.
+    ph = jnp.concatenate([x[:, 1:2], x, x[:, -2:-1]], axis=1)
+    x = ph[:, :-2] * k0 + ph[:, 1:-1] * k1 + ph[:, 2:] * k0
+    pw = jnp.concatenate([x[:, :, 1:2], x, x[:, :, -2:-1]], axis=2)
+    return pw[:, :, :-2] * k0 + pw[:, :, 1:-1] * k1 + pw[:, :, 2:] * k0
+
+
+def _kernel(img_ref, par_ref, out_ref):
+    x = img_ref[0]  # (3, H, W)
+    factors = jnp.stack([par_ref[0, 0], par_ref[0, 1], par_ref[0, 2]])
+    order_idx = par_ref[0, 3].astype(jnp.int32)
+    sigma = par_ref[0, 4]
+    flip_h = par_ref[0, 5] > 0.5
+    flip_v = par_ref[0, 6] > 0.5
+
+    x = _apply_jitter(x, factors, order_idx)
+    x = _blur3(x, sigma)
+    x = jnp.where(flip_h, jnp.flip(x, axis=2), x)
+    x = jnp.where(flip_v, jnp.flip(x, axis=1), x)
+    out_ref[0] = x
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def photometric_flip_chw(
+    imgs_chw: jnp.ndarray,
+    params: jnp.ndarray,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """(B, 3, H, W) images in [0,1] + (B, 8) param rows -> processed images."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, c, h, w = imgs_chw.shape
+    return pl.pallas_call(
+        _kernel,
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=bool(interpret),
+    )(imgs_chw.astype(jnp.float32), params.astype(jnp.float32))
+
+
+def photometric_flip_batch(
+    imgs_nhwc: jnp.ndarray,
+    params: jnp.ndarray,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """NHWC wrapper: transpose to channels-first for VPU-friendly tiling,
+    run the fused kernel, transpose back (both fuse into neighbors)."""
+    chw = jnp.transpose(imgs_nhwc, (0, 3, 1, 2))
+    out = photometric_flip_chw(chw, params, interpret=interpret)
+    return jnp.transpose(out, (0, 2, 3, 1))

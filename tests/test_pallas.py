@@ -1,0 +1,177 @@
+"""Numerical-equivalence tests for the Pallas TPU kernels
+(ops/pallas_kernels/) against their jnp reference paths.
+
+On the test platform (CPU) the kernels run in Pallas interpret mode —
+same kernel code, interpreted instead of Mosaic-compiled — which validates
+the kernel logic without TPU hardware (SURVEY.md §4's fake-device strategy).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_aug_pfa_tpu.data import transforms as T
+from gan_aug_pfa_tpu.losses import focal_dice_loss
+from gan_aug_pfa_tpu.metrics import (
+    METRIC_KEYS,
+    confusion_counts,
+    per_sample_metrics,
+    per_sample_metrics_pallas,
+)
+from gan_aug_pfa_tpu.ops.pallas_kernels import (
+    confusion_counts_batch,
+    focal_dice_loss_fused,
+)
+from gan_aug_pfa_tpu.ops.pallas_kernels import fused_loss as fl
+
+RNG = np.random.RandomState(42)
+
+
+# ---------------------------------------------------------------------------
+# fused FocalDice loss
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(2, 37, 41, 1), (4, 32, 32, 1), (1, 7, 9, 1)])
+def test_fused_loss_forward_matches_jnp(shape):
+    x = jnp.asarray(RNG.randn(*shape).astype(np.float32) * 3)
+    t = jnp.asarray((RNG.rand(*shape) > 0.8).astype(np.float32))
+    kw = dict(beta=0.67, focal_gamma=1.79, focal_alpha=0.60,
+              dice_smooth=1.9e-6)
+    a = float(focal_dice_loss(x, t, **kw))
+    b = float(focal_dice_loss_fused(x, t, **kw))
+    assert abs(a - b) < 1e-6 * max(1.0, abs(a))
+
+
+def test_fused_loss_gradient_matches_jnp():
+    shape = (2, 24, 24, 1)
+    x = jnp.asarray(RNG.randn(*shape).astype(np.float32) * 2)
+    t = jnp.asarray((RNG.rand(*shape) > 0.7).astype(np.float32))
+    kw = dict(beta=0.5, focal_gamma=2.0, focal_alpha=0.25, dice_smooth=1.0)
+    ga = jax.grad(lambda x: focal_dice_loss(x, t, **kw))(x)
+    gb = jax.grad(lambda x: focal_dice_loss_fused(x, t, **kw))(x)
+    scale = float(jnp.max(jnp.abs(ga)))
+    assert float(jnp.max(jnp.abs(ga - gb))) < 1e-5 * scale
+
+
+def test_fused_loss_gamma_one_edge():
+    """gamma=1 exercises the u^(gamma-1) = u^0 branch of the analytic
+    backward at saturated logits (u -> 0)."""
+    x = jnp.asarray(np.array([[-50.0, 0.0, 50.0, 3.0]] * 32, np.float32))
+    t = jnp.asarray(np.array([[0.0, 1.0, 1.0, 0.0]] * 32, np.float32))
+    kw = dict(beta=0.7, focal_gamma=1.0, focal_alpha=0.4, dice_smooth=1e-6)
+    ga = jax.grad(lambda x: focal_dice_loss(x, t, **kw))(x)
+    gb = jax.grad(lambda x: focal_dice_loss_fused(x, t, **kw))(x)
+    assert np.all(np.isfinite(np.asarray(gb)))
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), atol=1e-6)
+
+
+def test_fused_loss_in_value_and_grad():
+    """The custom VJP composes with value_and_grad + jit (the trainer's
+    usage pattern)."""
+    x = jnp.asarray(RNG.randn(1, 16, 16, 1).astype(np.float32))
+    t = jnp.asarray((RNG.rand(1, 16, 16, 1) > 0.5).astype(np.float32))
+
+    @jax.jit
+    def f(x):
+        return focal_dice_loss_fused(x, t)
+
+    v, g = jax.value_and_grad(f)(x)
+    v2 = focal_dice_loss(x, t)
+    assert abs(float(v) - float(v2)) < 1e-6
+    assert g.shape == x.shape
+
+
+def test_fused_loss_fits_guard():
+    assert fl.fits(4 * 128 * 128)
+    assert not fl.fits(fl._MAX_ROWS * fl._LANES + 1)
+    with pytest.raises(ValueError):
+        focal_dice_loss_fused(
+            jnp.zeros((fl._MAX_ROWS + 1, fl._LANES)),
+            jnp.zeros((fl._MAX_ROWS + 1, fl._LANES)),
+        )
+
+
+# ---------------------------------------------------------------------------
+# confusion-counts kernel
+# ---------------------------------------------------------------------------
+
+
+def test_confusion_counts_batch_matches_jnp():
+    p = jnp.asarray(RNG.rand(5, 33, 47).astype(np.float32))
+    t = jnp.asarray((RNG.rand(5, 33, 47) > 0.7).astype(np.float32))
+    c = np.asarray(confusion_counts_batch(p, t))
+    for i in range(5):
+        ref = np.asarray([float(v) for v in confusion_counts(p[i], t[i])])
+        np.testing.assert_allclose(c[i], ref)
+    # Counts partition the pixel grid.
+    np.testing.assert_allclose(c.sum(axis=1), 33 * 47)
+
+
+def test_per_sample_metrics_pallas_matches_jnp():
+    p = jnp.asarray(RNG.rand(3, 24, 24).astype(np.float32))
+    t = jnp.asarray((RNG.rand(3, 24, 24) > 0.6).astype(np.float32))
+    a = jax.device_get(per_sample_metrics(p, t))
+    b = jax.device_get(per_sample_metrics_pallas(p, t))
+    for k in METRIC_KEYS:
+        np.testing.assert_allclose(b[k], a[k], rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# fused photometric augmentation kernel
+# ---------------------------------------------------------------------------
+
+
+def _batch(b=4, h=24, w=24):
+    i1 = jnp.asarray(RNG.rand(b, h, w, 3).astype(np.float32))
+    i2 = jnp.asarray(RNG.rand(b, h, w, 3).astype(np.float32))
+    lb = jnp.asarray((RNG.rand(b, h, w) > 0.7).astype(np.int32))
+    return i1, i2, lb
+
+
+@pytest.mark.parametrize("seed", [0, 1, 7])
+def test_pallas_augment_matches_jnp(seed):
+    i1, i2, lb = _batch()
+    key = jax.random.PRNGKey(seed)
+    a = T.augment_batch(key, i1, i2, lb)
+    b = T.augment_batch(key, i1, i2, lb, use_pallas=True)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(x, np.float32), np.asarray(y, np.float32), atol=2e-6
+        )
+
+
+def test_pallas_augment_no_labels():
+    i1, i2, _ = _batch(b=2)
+    key = jax.random.PRNGKey(3)
+    a = T.augment_batch(key, i1, i2, None)
+    b = T.augment_batch(key, i1, i2, None, use_pallas=True)
+    assert a[2] is None and b[2] is None
+    np.testing.assert_allclose(
+        np.asarray(a[0]), np.asarray(b[0]), atol=2e-6
+    )
+
+
+def test_trainer_fused_flags_smoke():
+    """A SiameseTrainer step with both Pallas opt-ins enabled runs and
+    produces a finite loss (interpret mode on the CPU test platform)."""
+    from gan_aug_pfa_tpu.config import SiameseTrainConfig
+    from gan_aug_pfa_tpu.train import SiameseTrainer
+
+    cfg = SiameseTrainConfig(
+        batch_size=2, compute_dtype="float32", data_parallel=False,
+        fused_loss=True, pallas_augment=True,
+    )
+    trainer = SiameseTrainer(cfg, augment=True)
+    state = trainer.init_state(jax.random.PRNGKey(0), (16, 16))
+    ds = (
+        jnp.asarray(RNG.rand(4, 16, 16, 3).astype(np.float32)),
+        jnp.asarray(RNG.rand(4, 16, 16, 3).astype(np.float32)),
+        jnp.asarray((RNG.rand(4, 16, 16) > 0.8).astype(np.int32)),
+    )
+    idx = jnp.arange(2, dtype=jnp.int32)
+    state, loss = trainer._train_step(
+        state, ds[0], ds[1], ds[2], idx, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(loss))

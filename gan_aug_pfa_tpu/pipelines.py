@@ -20,6 +20,7 @@ Behavioral quirks of the reference preserved deliberately (SURVEY.md §7):
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 from typing import Dict, Optional
@@ -41,12 +42,31 @@ from .metrics import METRIC_KEYS, per_sample_metrics
 from .parallel.mesh import make_mesh
 from .train import GANTrainer, ReduceLROnPlateau, SiameseTrainer
 from .train.optim import get_learning_rate, set_learning_rate
+from .utils.profiling import StepTimer, enable_nan_checks, trace
 
 
 def _default_mesh(enabled: bool):
     if enabled and len(jax.devices()) > 1:
         return make_mesh()
     return None
+
+
+def _setup_observability(trainer, cfg, items_per_step: int, verbose: bool):
+    """Attach the per-step timer / NaN sanitizer per config (SURVEY.md
+    §5.1-5.2 equivalents; both absent in the reference)."""
+    if cfg.debug_nans:
+        enable_nan_checks()
+        if verbose:
+            print("jax_debug_nans enabled (numeric sanitizer).")
+    if cfg.profile_dir:
+        trainer.step_timer = StepTimer(items_per_step=items_per_step)
+    return trace(cfg.profile_dir)
+
+
+def _report_observability(trainer, cfg, verbose: bool):
+    if trainer.step_timer is not None and verbose:
+        print(trainer.step_timer.format_summary("Step timing: "))
+        print(f"Profiler trace written to {cfg.profile_dir}")
 
 
 # ---------------------------------------------------------------------------
@@ -119,7 +139,27 @@ def run_siamese_training(
     dev_val = trainer._device_arrays(val_ds) if len(val_ds) else None
     epoch_rng = np.random.RandomState(train_cfg.seed)
     history = {"train_loss": [], "val_loss": []}
+    profiler_ctx = _setup_observability(
+        trainer, train_cfg, train_cfg.batch_size, verbose
+    )
 
+    with profiler_ctx:
+        _run_siamese_epochs(
+            trainer, train_cfg, state, scheduler, start_epoch, best_val_loss,
+            dev_train, dev_val, train_ds, val_ds, epoch_rng, rng,
+            checkpoint_dir, history, verbose,
+        )
+    _report_observability(trainer, train_cfg, verbose)
+    if verbose:
+        print("Training finished.")
+    return history
+
+
+def _run_siamese_epochs(
+    trainer, train_cfg, state, scheduler, start_epoch, best_val_loss,
+    dev_train, dev_val, train_ds, val_ds, epoch_rng, rng,
+    checkpoint_dir, history, verbose,
+):
     for epoch in range(start_epoch, train_cfg.num_epochs + 1):
         lr_now = get_learning_rate(state.opt_state)
         if verbose:
@@ -175,12 +215,9 @@ def run_siamese_training(
                 "scheduler": scheduler.state_dict(),
             },
         )
-    if verbose:
-        print("Training finished.")
     history["best_val_loss"] = best_val_loss
     history["state"] = state
     history["trainer"] = trainer
-    return history
 
 
 # ---------------------------------------------------------------------------
@@ -230,6 +267,10 @@ def run_gan_training(
     epoch_rng = np.random.RandomState(gan_cfg.seed)
     sample_rng = np.random.RandomState(gan_cfg.seed + 1)
     history = {"loss_d": [], "loss_g": []}
+    profiler = contextlib.ExitStack()
+    profiler.enter_context(
+        _setup_observability(trainer, gan_cfg, gan_cfg.batch_size, verbose)
+    )
 
     for epoch in range(start_epoch, gan_cfg.num_epochs + 1):
         t0 = time.perf_counter()
@@ -281,6 +322,8 @@ def run_gan_training(
             )
             if verbose:
                 print(f"GAN Checkpoints saved for epoch {epoch}")
+    profiler.close()
+    _report_observability(trainer, gan_cfg, verbose)
     if verbose:
         print("GAN Training finished.")
     history["state_g"] = sg

@@ -43,6 +43,9 @@ class GANTrainer:
     def __init__(self, config: GANTrainConfig, mesh=None):
         self.config = config
         self.mesh = mesh
+        # Optional per-step profiler (utils/profiling.StepTimer), attached
+        # by the pipeline when config.profile_dir is set.
+        self.step_timer = None
         dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else (
             jnp.float32
         )
@@ -106,10 +109,34 @@ class GANTrainer:
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
     def _gan_step(self, state_g: GANState, state_d: GANState, ds1, ds2, idx):
-        """Fused gather + D-step + G-step.  ds1/ds2: full dataset arrays in
-        [0,1]; idx: (B,) batch indices."""
+        """Single fused step (one host dispatch) — used under per-step
+        profiling; epochs normally run via _gan_epoch_scan."""
+        return self._gan_step_impl(state_g, state_d, ds1, ds2, idx)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _gan_epoch_scan(self, state_g: GANState, state_d: GANState, ds1, ds2,
+                        idx_mat):
+        """A whole GAN epoch as ONE compiled lax.scan over the (n_steps, B)
+        index matrix — at the reference's bs=1, 14-samples-per-epoch
+        workload, per-step dispatch would dominate wall clock."""
+
+        def body(carry, idx):
+            sg, sd = carry
+            sg, sd, ld, lg = self._gan_step_impl(sg, sd, ds1, ds2, idx)
+            return (sg, sd), (ld, lg)
+
+        (state_g, state_d), (ld, lg) = jax.lax.scan(
+            body, (state_g, state_d), idx_mat
+        )
+        return state_g, state_d, ld, lg
+
+    def _gan_step_impl(self, state_g: GANState, state_d: GANState, ds1, ds2,
+                       idx):
+        """Fused gather + D-step + G-step (traced body).  ds1/ds2: full
+        dataset arrays in [0,1]; idx: (B,) batch indices."""
         real_a = normalize(jnp.take(ds1, idx, axis=0))
         real_b = normalize(jnp.take(ds2, idx, axis=0))
+        real_a, real_b = self._constrain_spatial(real_a, real_b)
 
         # --- D step -----------------------------------------------------
         # G forward (train mode: BN stats update; gradients stopped).
@@ -164,6 +191,28 @@ class GANTrainer:
 
     # ------------------------------------------------------------------
 
+    def _constrain_spatial(self, a, b):
+        """Constrain the gathered batch's shardings: batch over 'data'
+        (works inside lax.scan too) and feature-map H over an optional
+        'spatial' axis (XLA inserts the conv halo exchanges) — same scheme
+        as the Siamese trainer; relevant at 256x256 and beyond."""
+        if self.mesh is None:
+            return a, b
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = (
+            "data" if a.shape[0] % self.mesh.shape.get("data", 1) == 0
+            else None
+        )
+        spatial = "spatial" if "spatial" in self.mesh.shape else None
+        if data is None and spatial is None:
+            return a, b
+        s = NamedSharding(self.mesh, P(data, spatial, None, None))
+        return (
+            jax.lax.with_sharding_constraint(a, s),
+            jax.lax.with_sharding_constraint(b, s),
+        )
+
     def _put_idx(self, idx: np.ndarray):
         idx = jnp.asarray(idx, dtype=jnp.int32)
         if self.mesh is None:
@@ -182,21 +231,37 @@ class GANTrainer:
         epoch_rng: np.random.RandomState,
     ):
         """One epoch with drop_last=True shuffled batches (reference
-        train_gan.py:135)."""
+        train_gan.py:135).  Runs as a single compiled lax.scan program
+        (per-step jit under profiling)."""
         bs = self.config.batch_size
         ds1, ds2 = dev_ds
         perm = epoch_rng.permutation(n_samples)
         n_full = (n_samples // bs) * bs
+        if n_full == 0:
+            return state_g, state_d, 0.0, 0.0
+
+        if self.step_timer is None:
+            idx_mat = jnp.asarray(
+                perm[:n_full].reshape(-1, bs), dtype=jnp.int32
+            )
+            state_g, state_d, ld, lg = self._gan_epoch_scan(
+                state_g, state_d, ds1, ds2, idx_mat
+            )
+            return (
+                state_g, state_d,
+                float(jnp.mean(ld)), float(jnp.mean(lg)),
+            )
+
         losses_d, losses_g = [], []
         for start in range(0, n_full, bs):
             idx = self._put_idx(perm[start:start + bs])
-            state_g, state_d, ld, lg = self._gan_step(
-                state_g, state_d, ds1, ds2, idx
-            )
+            with self.step_timer.step():
+                state_g, state_d, ld, lg = self._gan_step(
+                    state_g, state_d, ds1, ds2, idx
+                )
+                lg.block_until_ready()
             losses_d.append(ld)
             losses_g.append(lg)
-        if not losses_d:
-            return state_g, state_d, 0.0, 0.0
         return (
             state_g,
             state_d,

@@ -52,6 +52,9 @@ class SiameseTrainer:
         self.mesh = mesh
         self.augment = augment
         self.aug_config = aug_config
+        # Optional per-step profiler (utils/profiling.StepTimer), attached
+        # by the pipeline when config.profile_dir is set.
+        self.step_timer = None
         dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else (
             jnp.float32
         )
@@ -68,6 +71,19 @@ class SiameseTrainer:
             focal_alpha=config.focal_alpha,
             dice_smooth=config.dice_smooth,
         )
+
+    def _loss(self, logits, labels_f):
+        """FocalDice via the opt-in fused Pallas kernel (single-pass fwd +
+        analytic single-pass bwd) or the default XLA path — numerically
+        identical (tests/test_pallas.py)."""
+        if self.config.fused_loss:
+            from ..ops.pallas_kernels import fused_loss as fl
+
+            if fl.fits(logits.size):
+                return fl.focal_dice_loss_fused(
+                    logits, labels_f, **self._loss_kwargs
+                )
+        return focal_dice_loss(logits, labels_f, **self._loss_kwargs)
 
     # -- state ---------------------------------------------------------
 
@@ -88,18 +104,19 @@ class SiameseTrainer:
 
     # -- compiled steps --------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def _train_step(self, state: TrainState, ds1, ds2, dsl, idx, rng):
-        """Fused gather + augment + fwd/bwd + update: ds* are the full
-        HBM-resident dataset arrays, idx is the (B,) batch index vector.
-        ONE host->device dispatch per optimization step."""
+    def _step_impl(self, state: TrainState, ds1, ds2, dsl, idx, rng):
+        """One optimization step (traced body, shared by the per-step jit
+        and the whole-epoch lax.scan): gather from the HBM-resident dataset
+        arrays by the (B,) index vector, augment/normalize, fwd/bwd,
+        optimizer update."""
         img1 = jnp.take(ds1, idx, axis=0)
         img2 = jnp.take(ds2, idx, axis=0)
         labels = jnp.take(dsl, idx, axis=0)
         img1, img2, labels = self._constrain_spatial(img1, img2, labels)
         if self.augment:
             img1, img2, labels = augment_batch(
-                rng, img1, img2, labels, self.aug_config
+                rng, img1, img2, labels, self.aug_config,
+                use_pallas=self.config.pallas_augment,
             )
         else:
             img1, img2 = normalize(img1), normalize(img2)
@@ -110,7 +127,7 @@ class SiameseTrainer:
                 {"params": params, "batch_stats": state.batch_stats},
                 img1, img2, train=True, mutable=["batch_stats"],
             )
-            loss = focal_dice_loss(logits, labels_f, **self._loss_kwargs)
+            loss = self._loss(logits, labels_f)
             return loss, mutated["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -119,8 +136,36 @@ class SiameseTrainer:
         state = state.apply_gradients(grads=grads, batch_stats=new_bs)
         return state, loss
 
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step(self, state: TrainState, ds1, ds2, dsl, idx, rng):
+        """Single fused step: ONE host->device dispatch per optimization
+        step (used for partial batches and when per-step timing is on)."""
+        return self._step_impl(state, ds1, ds2, dsl, idx, rng)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_epoch_scan(self, state: TrainState, ds1, ds2, dsl, idx_mat,
+                          keys):
+        """A whole epoch of full-size batches as ONE compiled program:
+        lax.scan over the (n_steps, B) index matrix.  Removes the
+        per-step host dispatch entirely — on the reference's ~3-step
+        epochs, dispatch latency dominates the actual compute."""
+
+        def body(state, x):
+            idx, key = x
+            return self._step_impl(state, ds1, ds2, dsl, idx, key)
+
+        state, losses = jax.lax.scan(body, state, (idx_mat, keys))
+        return state, losses
+
     @functools.partial(jax.jit, static_argnums=0)
-    def _eval_step(self, state: TrainState, ds1, ds2, dsl, idx):
+    def _eval_epoch_scan(self, state: TrainState, ds1, ds2, dsl, idx_mat):
+        def body(_, idx):
+            return None, self._eval_impl(state, ds1, ds2, dsl, idx)
+
+        _, losses = jax.lax.scan(body, None, idx_mat)
+        return losses
+
+    def _eval_impl(self, state: TrainState, ds1, ds2, dsl, idx):
         img1 = jnp.take(ds1, idx, axis=0)
         img2 = jnp.take(ds2, idx, axis=0)
         labels = jnp.take(dsl, idx, axis=0)
@@ -130,7 +175,11 @@ class SiameseTrainer:
             {"params": state.params, "batch_stats": state.batch_stats},
             img1, img2, train=False,
         )
-        return focal_dice_loss(logits, labels_f, **self._loss_kwargs)
+        return self._loss(logits, labels_f)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _eval_step(self, state: TrainState, ds1, ds2, dsl, idx):
+        return self._eval_impl(state, ds1, ds2, dsl, idx)
 
     @functools.partial(jax.jit, static_argnums=0)
     def predict(self, state: TrainState, img1, img2):
@@ -143,16 +192,25 @@ class SiameseTrainer:
         return jax.nn.sigmoid(logits)
 
     def _constrain_spatial(self, img1, img2, labels):
-        """When the mesh has a 'spatial' axis, additionally shard the batch's
-        H dimension over it — XLA's SPMD partitioner inserts the conv halo
-        exchanges (spatial partitioning for resolutions beyond per-core HBM,
-        SURVEY.md §5.7)."""
-        if self.mesh is None or "spatial" not in self.mesh.shape:
+        """Constrain the gathered batch's shardings: batch dim over 'data'
+        (so the step runs data-parallel with a psum grad all-reduce even
+        inside lax.scan, where indices can't be device_put-sharded) and,
+        when the mesh has a 'spatial' axis, feature-map H over it — XLA's
+        SPMD partitioner inserts the conv halo exchanges (spatial
+        partitioning for resolutions beyond per-core HBM, SURVEY.md §5.7)."""
+        if self.mesh is None:
             return img1, img2, labels
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        s_img = NamedSharding(self.mesh, P("data", "spatial", None, None))
-        s_lbl = NamedSharding(self.mesh, P("data", "spatial", None))
+        data = (
+            "data" if img1.shape[0] % self.mesh.shape.get("data", 1) == 0
+            else None
+        )
+        spatial = "spatial" if "spatial" in self.mesh.shape else None
+        if data is None and spatial is None:
+            return img1, img2, labels
+        s_img = NamedSharding(self.mesh, P(data, spatial, None, None))
+        s_lbl = NamedSharding(self.mesh, P(data, spatial, None))
         return (
             jax.lax.with_sharding_constraint(img1, s_img),
             jax.lax.with_sharding_constraint(img2, s_img),
@@ -195,31 +253,69 @@ class SiameseTrainer:
     ) -> Tuple[TrainState, float]:
         """One epoch: shuffled full pass, batch_size from config, partial
         final batch included (reference DataLoader drop_last=False).  Epoch
-        loss = mean of per-batch losses (reference train.py:147)."""
+        loss = mean of per-batch losses (reference train.py:147).
+
+        Full-size batches run as ONE compiled lax.scan program (zero
+        per-step dispatch); the trailing partial batch (and the per-step
+        profiling path, which needs step granularity) use the per-step jit.
+        """
         bs = self.config.batch_size
         ds1, ds2, dsl = dev_ds
         perm = epoch_rng.permutation(n_samples)
+        n_full = (n_samples // bs) * bs
         losses = []
-        for start in range(0, n_samples, bs):
+
+        if self.step_timer is None and n_full >= bs:
+            idx_mat = jnp.asarray(
+                perm[:n_full].reshape(-1, bs), dtype=jnp.int32
+            )
+            rng, scan_rng = jax.random.split(rng)
+            keys = jax.random.split(scan_rng, idx_mat.shape[0])
+            state, scan_losses = self._train_epoch_scan(
+                state, ds1, ds2, dsl, idx_mat, keys
+            )
+            losses.append(scan_losses)
+            start_rest = n_full
+        else:
+            start_rest = 0
+
+        for start in range(start_rest, n_samples, bs):
             idx = self._put_idx(perm[start:start + bs])
             rng, step_rng = jax.random.split(rng)
-            state, loss = self._train_step(
-                state, ds1, ds2, dsl, idx, step_rng
-            )
-            losses.append(loss)
+            if self.step_timer is not None:
+                with self.step_timer.step():
+                    state, loss = self._train_step(
+                        state, ds1, ds2, dsl, idx, step_rng
+                    )
+                    loss.block_until_ready()
+            else:
+                state, loss = self._train_step(
+                    state, ds1, ds2, dsl, idx, step_rng
+                )
+            losses.append(loss[None] if loss.ndim == 0 else loss)
         if not losses:
             return state, 0.0
-        return state, float(jnp.mean(jnp.stack(losses)))
+        return state, float(jnp.mean(jnp.concatenate(
+            [jnp.atleast_1d(l) for l in losses]
+        )))
 
     def validate(self, state: TrainState, dev_ds, n_samples: int) -> float:
         bs = self.config.batch_size
         ds1, ds2, dsl = dev_ds
+        n_full = (n_samples // bs) * bs
         losses = []
-        for start in range(0, n_samples, bs):
+        if n_full >= bs:
+            idx_mat = jnp.asarray(
+                np.arange(n_full).reshape(-1, bs), dtype=jnp.int32
+            )
+            losses.append(self._eval_epoch_scan(state, ds1, ds2, dsl, idx_mat))
+        for start in range(n_full, n_samples, bs):
             idx = self._put_idx(
                 np.arange(start, min(start + bs, n_samples))
             )
-            losses.append(self._eval_step(state, ds1, ds2, dsl, idx))
+            losses.append(
+                jnp.atleast_1d(self._eval_step(state, ds1, ds2, dsl, idx))
+            )
         if not losses:
             return 0.0
-        return float(jnp.mean(jnp.stack(losses)))
+        return float(jnp.mean(jnp.concatenate(losses)))

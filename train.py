@@ -67,6 +67,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="[extension] disable multi-device data parallelism")
     p.add_argument("--n-trials", type=int, default=50,
                    help="[extension] number of tuning trials for --tune")
+    p.add_argument("--fused-loss", action="store_true",
+                   help="[extension] use the single-pass Pallas FocalDice "
+                        "kernel (ops/pallas_kernels/fused_loss.py)")
+    p.add_argument("--pallas-augment", action="store_true",
+                   help="[extension] route photometric augmentation through "
+                        "the fused Pallas kernel")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="[extension] write a jax.profiler trace + per-step "
+                        "timing stats")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="[extension] enable the jax_debug_nans sanitizer")
     return p
 
 
@@ -100,6 +111,10 @@ def main() -> None:
         compute_dtype=args.compute_dtype,
         data_parallel=not args.no_data_parallel,
         resume=args.resume,
+        fused_loss=args.fused_loss,
+        pallas_augment=args.pallas_augment,
+        profile_dir=args.profile_dir,
+        debug_nans=args.debug_nans,
     )
     from gan_aug_pfa_tpu.parallel.mesh import maybe_distributed_init
     from gan_aug_pfa_tpu.pipelines import run_siamese_training

@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-data-parallel", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="write a jax.profiler trace + per-step timing stats")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable the jax_debug_nans numeric sanitizer")
     return p
 
 
@@ -67,6 +71,8 @@ def main() -> None:
         compute_dtype=args.compute_dtype,
         data_parallel=not args.no_data_parallel,
         resume=args.resume,
+        profile_dir=args.profile_dir,
+        debug_nans=args.debug_nans,
     )
     from gan_aug_pfa_tpu.parallel.mesh import maybe_distributed_init
     from gan_aug_pfa_tpu.pipelines import run_gan_training

@@ -19,11 +19,12 @@ final [-1,1] normalize, which is applied on device.
 from __future__ import annotations
 
 import dataclasses
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Tuple
 
 import numpy as np
-from PIL import Image
 
+from . import native_loader
 from .scanner import Sample
 
 
@@ -74,16 +75,15 @@ def load_sample_arrays(
     {0,1} for the label (binarized at >128 before the nearest resize, matching
     reference dataset.py:31-33 then 146).
     """
-    with Image.open(sample.img1) as im:
-        img1 = np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
-    with Image.open(sample.img2) as im:
-        img2 = np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
+    # Decode via the native C++ engine (PIL-identical bytes; falls back to
+    # PIL per file — see data/native_loader.py).
+    img1 = native_loader.decode_rgb(sample.img1).astype(np.float32) / 255.0
+    img2 = native_loader.decode_rgb(sample.img2).astype(np.float32) / 255.0
     img1 = _resize_bilinear_np(img1, target_size)
     img2 = _resize_bilinear_np(img2, target_size)
     label = None
     if sample.label is not None:
-        with Image.open(sample.label) as im:
-            label_np = np.asarray(im.convert("L"))
+        label_np = native_loader.decode_gray(sample.label)
         label = (label_np > 128).astype(np.int32)
         label = _resize_nearest_np(label, target_size)
     return img1, img2, label
@@ -118,12 +118,23 @@ def build_cached_dataset(
     build time here since the cache is static)."""
     img1s, img2s, labels, cities = [], [], [], []
     has_labels = all(s.label is not None for s in samples)
-    for s in samples:
+
+    def load_one(s):
         try:
-            i1, i2, lb = load_sample_arrays(s, target_size)
+            return load_sample_arrays(s, target_size)
         except Exception as e:  # noqa: BLE001 — parity with reference skip
             print(f"Failed to load sample for city {s.city}: {e}. Skipping.")
+            return None
+
+    # Concurrent decode: the native PNG decoder releases the GIL and the
+    # numpy resize is vectorized, so threads give real parallelism on the
+    # one-time cache build.
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(samples)))) as ex:
+        results = list(ex.map(load_one, samples))
+    for s, res in zip(samples, results):
+        if res is None:
             continue
+        i1, i2, lb = res
         img1s.append(i1)
         img2s.append(i2)
         if has_labels:

@@ -45,9 +45,20 @@ class Sample:
 
 
 def _image_readable(path: Optional[str]) -> bool:
-    """Double-open readability check (reference dataset.py:285-295)."""
+    """Readability check (reference dataset.py:285-295's verify+load
+    contract).  Uses the native C++ decoder when built (one full decode —
+    catches truncated/corrupt streams like PIL's load); PIL double-open
+    otherwise."""
     if path is None:
         return True
+    from . import native_loader
+
+    if native_loader.available():
+        try:
+            native_loader.decode_rgb(path)  # PIL fallback inside on odd files
+            return True
+        except Exception:  # noqa: BLE001 — any decode failure means skip
+            return False
     try:
         with Image.open(path) as img:
             img.verify()

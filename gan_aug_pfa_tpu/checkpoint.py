@@ -49,12 +49,19 @@ def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None
 
 def restore_checkpoint(path: str, state, with_extra: bool = False):
     """Restore into a template TrainState (built by the trainer's
-    init_state). Returns the restored state (and extras if requested)."""
+    init_state). Returns the restored state (and extras if requested).
+
+    The state fields are restored via from_state_dict against the template
+    (shape/structure-checked); ``extra`` is free-form and taken raw from the
+    msgpack payload (an empty-dict template would silently DROP it)."""
     with open(path, "rb") as f:
         data = f.read()
+    payload = serialization.msgpack_restore(data)
     template = _to_state_dict(state)
-    template["extra"] = {}
-    restored = serialization.from_bytes(template, data)
+    restored = {
+        k: serialization.from_state_dict(template[k], payload[k], name=k)
+        for k in template
+    }
     new_state = state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
@@ -62,7 +69,7 @@ def restore_checkpoint(path: str, state, with_extra: bool = False):
         step=restored["step"],
     )
     if with_extra:
-        return new_state, restored.get("extra", {})
+        return new_state, payload.get("extra", {})
     return new_state
 
 

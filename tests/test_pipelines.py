@@ -1,0 +1,204 @@
+"""End-to-end integration tests of the five pipeline drivers
+(gan_aug_pfa_tpu/pipelines.py) on a tiny on-disk OSCD tree: the full
+4-stage workflow of the reference (README dataflow, SURVEY.md §1) —
+GAN train -> synthesize -> Siamese train (real+synthetic) -> evaluate —
+plus resume-from-checkpoint, which the reference lacks.
+
+Runs on the 8-virtual-device CPU platform (conftest.py)."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from gan_aug_pfa_tpu.config import (
+    DataConfig,
+    EvalConfig,
+    GANTrainConfig,
+    GenerateConfig,
+    SiameseTrainConfig,
+)
+from gan_aug_pfa_tpu import pipelines
+
+
+@pytest.fixture(scope="module")
+def workdir(oscd_tree, tmp_path_factory):
+    """A private copy of the fixture tree (pipelines write into root_dir)."""
+    root = tmp_path_factory.mktemp("e2e")
+    dst = root / "data"
+    shutil.copytree(oscd_tree, dst)
+    # Drop the fixture's pre-made synthetic corpus: this module generates
+    # its own via the GAN pipeline.
+    shutil.rmtree(dst / "synthetic_data")
+    return str(dst)
+
+
+# Fast-training configs (tiny sizes; GAN must be 128x128 — num_downs=7).
+GAN_SIZE = (128, 128)
+SIA_SIZE = (32, 32)
+
+
+def _data_cfg(workdir, **kw):
+    return DataConfig(root_dir=workdir, target_size=SIA_SIZE, **kw)
+
+
+@pytest.fixture(scope="module")
+def gan_run(workdir):
+    cfg = GANTrainConfig(
+        num_epochs=2, target_size=GAN_SIZE, compute_dtype="float32",
+        save_every=2, sample_every=1, data_parallel=False, seed=0,
+    )
+    hist = pipelines.run_gan_training(
+        DataConfig(root_dir=workdir, target_size=GAN_SIZE), cfg,
+        verbose=False,
+    )
+    return workdir, hist
+
+
+def test_gan_training_artifacts(gan_run):
+    workdir, hist = gan_run
+    assert hist is not None
+    assert len(hist["loss_d"]) == 2 and len(hist["loss_g"]) == 2
+    assert all(np.isfinite(v) for v in hist["loss_d"] + hist["loss_g"])
+    ck = os.path.join(workdir, "gan_checkpoints")
+    # Reference naming contract: generator_epoch_N / discriminator_epoch_N
+    # (train_gan.py:149-154) with .msgpack extension.
+    assert os.path.exists(os.path.join(ck, "generator_epoch_2.msgpack"))
+    assert os.path.exists(os.path.join(ck, "discriminator_epoch_2.msgpack"))
+    # Sample strips (train_gan.py:78-92 analog).
+    strips = glob.glob(os.path.join(workdir, "gan_samples", "*.png"))
+    assert strips, "no GAN sample strips written"
+
+
+@pytest.fixture(scope="module")
+def synthetic_corpus(gan_run):
+    workdir, _ = gan_run
+    n = pipelines.run_generate_synthetic(
+        DataConfig(root_dir=workdir, target_size=GAN_SIZE),
+        GenerateConfig(
+            target_size=GAN_SIZE,
+            generator_checkpoint_name="generator_epoch_2.msgpack",
+        ),
+        verbose=False,
+    )
+    return workdir, n
+
+
+def test_synthetic_generation_contract(synthetic_corpus):
+    """Directory/file contract of reference generate_synthetic_data.py:74-85:
+    images/[city]/img{1,2}_synth_N.png + labels/[city]/cm_synth_N.png,
+    RGB 256x256-equivalent (here 128) images, L-mode binary labels."""
+    workdir, n = synthetic_corpus
+    assert n == 5  # all 5 fixture cities
+    base = os.path.join(workdir, "synthetic_data")
+    img1s = sorted(glob.glob(os.path.join(base, "images", "*", "img1_synth_*.png")))
+    img2s = sorted(glob.glob(os.path.join(base, "images", "*", "img2_synth_*.png")))
+    labels = sorted(glob.glob(os.path.join(base, "labels", "*", "cm_synth_*.png")))
+    assert len(img1s) == len(img2s) == len(labels) == 5
+    with Image.open(img2s[0]) as im:
+        assert im.mode == "RGB" and im.size == (128, 128)
+    with Image.open(labels[0]) as im:
+        assert im.mode == "L"
+        vals = set(np.unique(np.asarray(im)))
+        assert vals.issubset({0, 255})
+
+
+@pytest.fixture(scope="module")
+def siamese_run(synthetic_corpus):
+    workdir, _ = synthetic_corpus
+    cfg = SiameseTrainConfig(
+        batch_size=2, num_epochs=2, compute_dtype="float32",
+        save_every=2, data_parallel=False, seed=0,
+    )
+    hist = pipelines.run_siamese_training(
+        _data_cfg(workdir, use_synthetic=True), cfg, verbose=False
+    )
+    return workdir, hist
+
+
+def test_siamese_training_with_synthetic(siamese_run):
+    workdir, hist = siamese_run
+    assert hist is not None
+    assert len(hist["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in hist["train_loss"])
+    ck = os.path.join(workdir, "siamese_checkpoints")
+    # Reference naming contract (train.py:307-321).
+    assert os.path.exists(os.path.join(ck, "best_model.msgpack"))
+    assert os.path.exists(os.path.join(ck, "model_epoch_2.msgpack"))
+    assert os.path.exists(os.path.join(ck, "last_state.msgpack"))
+
+
+def test_siamese_resume_continues_epoch_count(siamese_run, capsys):
+    """Resume (absent in the reference, SURVEY.md §5.3: every reference run
+    restarts at epoch 1) picks up at the next epoch with optimizer +
+    scheduler state restored."""
+    workdir, _ = siamese_run
+    cfg = SiameseTrainConfig(
+        batch_size=2, num_epochs=3, compute_dtype="float32",
+        save_every=5, data_parallel=False, seed=0, resume=True,
+    )
+    hist = pipelines.run_siamese_training(
+        _data_cfg(workdir, use_synthetic=True), cfg, verbose=True
+    )
+    out = capsys.readouterr().out
+    assert "Resumed from" in out and "at epoch 3" in out
+    # Only epoch 3 runs (epochs 1-2 already done before resume).
+    assert len(hist["train_loss"]) == 1
+
+
+def test_evaluation_pipeline(siamese_run):
+    workdir, _ = siamese_run
+    result = pipelines.run_evaluation(
+        _data_cfg(workdir),
+        EvalConfig(target_size=SIA_SIZE, num_visualizations=2),
+        verbose=False,
+    )
+    assert result is not None
+    overall = result["overall"]
+    for k in ("accuracy", "precision", "recall", "f1", "iou"):
+        assert 0.0 <= overall[k] <= 1.0
+    # All 5 cities evaluated (reference evaluates ALL cities, SURVEY quirk).
+    assert len(result["per_city"]) == 5
+    vis = glob.glob(
+        os.path.join(workdir, "evaluation_results", "validation_sample_*.png")
+    )
+    assert len(vis) == 2
+
+
+def test_single_pair_evaluation(siamese_run):
+    workdir, _ = siamese_run
+    img_base = os.path.join(
+        workdir, "Onera Satellite Change Detection Dataset", "images",
+        "Onera Satellite Change Detection dataset - Images",
+    )
+    lbl_base = os.path.join(
+        workdir, "Onera Satellite Change Detection Dataset", "train_labels",
+        "Onera Satellite Change Detection dataset - Train Labels",
+    )
+    result = pipelines.evaluate_single_pair(
+        _data_cfg(workdir),
+        EvalConfig(target_size=SIA_SIZE),
+        os.path.join(img_base, "pisa", "pair", "img1.png"),
+        os.path.join(img_base, "pisa", "pair", "img2.png"),
+        "pisa",
+        label_path=os.path.join(lbl_base, "pisa", "cm", "cm.png"),
+        verbose=False,
+    )
+    assert result is not None
+    assert result["pred"].shape == (1, *SIA_SIZE)
+    assert set(result["metrics"]) == {
+        "accuracy", "precision", "recall", "f1", "iou"
+    }
+
+
+def test_evaluation_missing_checkpoint_graceful(workdir, tmp_path):
+    """Mirrors the reference's graceful error path (evaluate.py:343-351)."""
+    empty = tmp_path / "empty_root"
+    empty.mkdir()
+    result = pipelines.run_evaluation(
+        DataConfig(root_dir=str(empty)), EvalConfig(), verbose=False
+    )
+    assert result is None

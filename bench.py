@@ -1,32 +1,33 @@
 #!/usr/bin/env python
 """Benchmark: Siamese U-Net training throughput on the reference's headline
 workload (batch 4, 128x128, FocalDice + AdamW — reference train.py:24-29,
-294-296).
+294-296), measured over the production whole-epoch lax.scan path.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+plus secondary numbers (GAN step, per-step latency) on stderr.
 
 vs_baseline compares against the PyTorch reference implementation executing
 the same train step, measured on this machine's CPU (the reference has no
 published numbers and targets cuda-else-cpu; see BASELINE.md).  The measured
-torch-CPU number is hardcoded below with its measurement provenance.
+torch-CPU numbers are hardcoded below with their measurement provenance.
 """
 
 import json
 import sys
 import time
 
-# Reference throughput: torch 2.13 CPU, SiameseUNet fwd+bwd+AdamW train
-# step, bs=4 @128x128, measured in this container 2026-08-16 (10.62 s/step
-# -> 0.377 images/s; the GAN reference measured 0.597 images/s at bs=1
-# 256x256).  The reference has no published numbers (BASELINE.md).
-TORCH_CPU_IMAGES_PER_SEC = 0.3767
+# Reference throughput: torch 2.13 CPU, measured in this container
+# 2026-08-16.  Siamese: fwd+bwd+AdamW step, bs=4 @128x128 -> 10.62 s/step
+# = 0.377 images/s.  GAN: full D+G step, bs=1 @256x256 -> 0.597 images/s.
+# The reference has no published numbers (BASELINE.md).
+TORCH_CPU_SIAMESE_IPS = 0.3767
+TORCH_CPU_GAN_IPS = 0.597
 
 
-def main() -> None:
+def bench_siamese():
     import numpy as np
     import jax
-    import jax.numpy as jnp
 
     from gan_aug_pfa_tpu.config import SiameseTrainConfig
     from gan_aug_pfa_tpu.train import SiameseTrainer
@@ -37,48 +38,110 @@ def main() -> None:
 
     rng = np.random.RandomState(0)
     n = 12  # ~the OSCD train-set size
-    ds = (
-        jnp.asarray(rng.rand(n, 128, 128, 3).astype(np.float32)),
-        jnp.asarray(rng.rand(n, 128, 128, 3).astype(np.float32)),
-        jnp.asarray((rng.rand(n, 128, 128) > 0.8).astype(np.int32)),
-    )
-    step_rng = jax.random.PRNGKey(1)
-
-    def run_step(state, i):
-        idx = jnp.asarray(
-            (np.arange(4) + i * 4) % n, dtype=jnp.int32
+    ds = tuple(
+        jax.device_put(a)
+        for a in (
+            rng.rand(n, 128, 128, 3).astype(np.float32),
+            rng.rand(n, 128, 128, 3).astype(np.float32),
+            (rng.rand(n, 128, 128) > 0.8).astype(np.int32),
         )
-        return trainer._train_step(state, ds[0], ds[1], ds[2], idx, step_rng)
+    )
+    import jax.numpy as jnp
 
-    # Warmup / compile.
-    for i in range(3):
-        state, loss = run_step(state, i)
-    jax.block_until_ready(loss)
+    key = jax.random.PRNGKey(1)
+    epoch_rng = np.random.RandomState(1)
 
-    steps = 50
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, loss = run_step(state, i)
-    jax.block_until_ready((state.params, loss))
-    dt = time.perf_counter() - t0
+    # Measure the production lax.scan path with ONE dispatch + ONE sync so
+    # the number reflects device throughput, not host/tunnel round-trips
+    # (production syncs once per epoch for the plateau scheduler).
+    steps = 120
+    perm = np.concatenate(
+        [epoch_rng.permutation(n) for _ in range(steps * 4 // n + 1)]
+    )[: steps * 4]
+    idx_mat = jnp.asarray(perm.reshape(steps, 4), dtype=jnp.int32)
+    keys = jax.random.split(key, steps)
+
+    # Sync via a scalar readback: through the axon tunnel,
+    # block_until_ready can return before execution finishes (measured
+    # 2026-08-16); a device->host transfer is a true barrier.  Rep 0 warms
+    # the compile; steady-state reps agree to <1%.
+    dts = []
+    last = 0.0
+    for rep in range(4):
+        t0 = time.perf_counter()
+        state, losses = trainer._train_epoch_scan(state, *ds, idx_mat, keys)
+        last = float(losses[-1])
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts[1:])
     images_per_sec = steps * cfg.batch_size / dt
+    ms_per_step = dt / steps * 1e3
+    return images_per_sec, ms_per_step, last
 
-    baseline = TORCH_CPU_IMAGES_PER_SEC
+
+def bench_gan():
+    import numpy as np
+    import jax
+
+    from gan_aug_pfa_tpu.config import GANTrainConfig
+    from gan_aug_pfa_tpu.train import GANTrainer
+
+    cfg = GANTrainConfig(batch_size=1, compute_dtype="bfloat16")
+    trainer = GANTrainer(cfg)
+    sg, sd = trainer.init_states(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    n = 14  # all-cities GAN set size (reference train_gan.py:99-108)
+    ds = tuple(
+        jax.device_put(rng.rand(n, 256, 256, 3).astype(np.float32))
+        for _ in range(2)
+    )
+    import jax.numpy as jnp
+
+    epoch_rng = np.random.RandomState(1)
+    steps = 70
+    perm = np.concatenate(
+        [epoch_rng.permutation(n) for _ in range(steps // n + 1)]
+    )[:steps]
+    idx_mat = jnp.asarray(perm.reshape(steps, 1), dtype=jnp.int32)
+
+    dts = []
+    last_d = last_g = 0.0
+    for rep in range(4):
+        t0 = time.perf_counter()
+        sg, sd, ld, lg = trainer._gan_epoch_scan(sg, sd, *ds, idx_mat)
+        last_d, last_g = float(ld[-1]), float(lg[-1])
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts[1:])
+    return steps / dt, dt / steps * 1e3, last_d, last_g
+
+
+def main() -> None:
+    siamese_ips, ms_step, loss = bench_siamese()
     print(
         json.dumps(
             {
                 "metric": "siamese_train_throughput_bs4_128px",
-                "value": round(images_per_sec, 2),
+                "value": round(siamese_ips, 2),
                 "unit": "images/sec",
-                "vs_baseline": round(images_per_sec / baseline, 2),
+                "vs_baseline": round(siamese_ips / TORCH_CPU_SIAMESE_IPS, 2),
             }
         )
     )
     print(
-        f"# {steps} steps in {dt:.3f}s ({dt / steps * 1e3:.2f} ms/step), "
-        f"loss={float(loss):.4f}, baseline={baseline} img/s (torch-cpu)",
+        f"# siamese: {ms_step:.2f} ms/step (bs=4 @128px, epoch-scan path), "
+        f"loss={loss:.4f}, baseline={TORCH_CPU_SIAMESE_IPS} img/s (torch-cpu)",
         file=sys.stderr,
     )
+    try:
+        gan_ips, gan_ms, ld, lg = bench_gan()
+        print(
+            f"# gan: {gan_ips:.2f} img/s, {gan_ms:.2f} ms/step (bs=1 "
+            f"@256px, D+G), loss_d={ld:.3f}, loss_g={lg:.3f}, "
+            f"vs torch-cpu {TORCH_CPU_GAN_IPS} img/s = "
+            f"{gan_ips / TORCH_CPU_GAN_IPS:.0f}x",
+            file=sys.stderr,
+        )
+    except Exception as e:  # secondary metric — never break the JSON line
+        print(f"# gan bench skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -68,6 +68,28 @@ def shard_batch_arrays(mesh: Mesh, *arrays, axis: str = "data"):
     return tuple(out)
 
 
+def put_dataset_global(mesh: Mesh, *arrays):
+    """Place host-resident dataset arrays on the mesh for training.
+
+    Single-process: a plain replicated device_put.  Multi-process (one
+    process per host on a pod slice): each process holds the FULL dataset
+    copy (the OSCD cache is tiny — tens of MB) and contributes its local
+    shard via ``jax.make_array_from_process_local_data`` so the result is a
+    valid replicated global array without any cross-host gather (SURVEY.md
+    §5.8's per-host sharded-loading requirement, trivially satisfiable here
+    because the dataset replicates)."""
+    rep = replicate_sharding(mesh)
+    out = []
+    for a in arrays:
+        if a is None:
+            out.append(None)
+        elif jax.process_count() > 1:
+            out.append(jax.make_array_from_process_local_data(rep, a))
+        else:
+            out.append(jax.device_put(a, rep))
+    return tuple(out)
+
+
 def maybe_distributed_init() -> None:
     """Initialize the multi-host runtime when launched under one (no-op
     otherwise).  TPU-native replacement for the reference's absent

@@ -263,7 +263,12 @@ def run_gan_training(
             if verbose:
                 print(f"Resumed GAN from epoch {start_epoch}.")
 
-    dev = (jax.device_put(ds.img1), jax.device_put(ds.img2))
+    if mesh is not None:
+        from .parallel.mesh import put_dataset_global
+
+        dev = put_dataset_global(mesh, ds.img1, ds.img2)
+    else:
+        dev = (jax.device_put(ds.img1), jax.device_put(ds.img2))
     epoch_rng = np.random.RandomState(gan_cfg.seed)
     sample_rng = np.random.RandomState(gan_cfg.seed + 1)
     history = {"loss_d": [], "loss_g": []}

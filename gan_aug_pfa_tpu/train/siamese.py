@@ -220,13 +220,20 @@ class SiameseTrainer:
     # -- epoch drivers ---------------------------------------------------
 
     def _device_arrays(self, ds: CachedDataset):
-        """Push the cached dataset to device HBM once (replicated)."""
-        put = (
-            (lambda a: jax.device_put(a, replicate_sharding(self.mesh)))
-            if self.mesh is not None
-            else jax.device_put
+        """Push the cached dataset to device HBM once (replicated; on a
+        multi-host slice each process contributes its local copy — see
+        parallel/mesh.put_dataset_global)."""
+        if self.mesh is not None:
+            from ..parallel.mesh import put_dataset_global
+
+            return put_dataset_global(
+                self.mesh, ds.img1, ds.img2, ds.labels
+            )
+        return (
+            jax.device_put(ds.img1),
+            jax.device_put(ds.img2),
+            jax.device_put(ds.labels),
         )
-        return put(ds.img1), put(ds.img2), put(ds.labels)
 
     def _put_idx(self, idx: np.ndarray):
         """Batch index vector, sharded over 'data' when it divides evenly

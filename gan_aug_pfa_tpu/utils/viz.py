@@ -20,6 +20,19 @@ import matplotlib.pyplot as plt  # noqa: E402
 
 from ..data.loader import float_to_uint8  # noqa: E402
 
+# Sentinel-2 13-band ordering: display uses B4/B3/B2 (R/G/B).  The
+# reference carries this as a dead branch (evaluate.py:73-75, unreachable
+# because its n_channels is fixed at 3); here n_channels is configurable so
+# the branch is live.
+_S2_RGB_BANDS = (3, 2, 1)
+
+
+def _displayable_rgb(img: np.ndarray) -> np.ndarray:
+    """HWC float image -> displayable [0,1] RGB (band-select if >3ch)."""
+    if img.ndim == 3 and img.shape[-1] > 3:
+        img = img[..., list(_S2_RGB_BANDS)]
+    return np.clip(img, 0.0, 1.0)
+
 
 def visualize_sample(
     img1: np.ndarray,
@@ -35,8 +48,8 @@ def visualize_sample(
     display), label HW {0,1} or None (dummy black if absent,
     evaluate.py:92-95), pred HW probabilities (thresholded at 0.5)."""
     os.makedirs(output_dir, exist_ok=True)
-    img1 = np.clip(np.asarray(img1), 0, 1)
-    img2 = np.clip(np.asarray(img2), 0, 1)
+    img1 = _displayable_rgb(np.asarray(img1))
+    img2 = _displayable_rgb(np.asarray(img2))
     h, w = pred.shape[-2], pred.shape[-1]
     if label is None:
         label_np = np.zeros((h, w), dtype=np.uint8)

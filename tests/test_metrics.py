@@ -53,3 +53,19 @@ def test_per_sample_metrics_macro_average():
         np.testing.assert_allclose(
             float(batched["f1"][i]), ref["f1"], rtol=1e-5
         )
+
+
+def test_visualize_sample_13band_band_select(tmp_path):
+    """The viz layer band-selects B4/B3/B2 for >3-channel inputs."""
+    import numpy as np
+
+    from gan_aug_pfa_tpu.utils.viz import visualize_sample
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(16, 16, 13).astype(np.float32)
+    pred = rng.rand(16, 16).astype(np.float32)
+    lbl = (rng.rand(16, 16) > 0.5).astype(np.int32)
+    path = visualize_sample(img, img, lbl, pred, "s2city", 0, str(tmp_path))
+    import os
+
+    assert os.path.exists(path)

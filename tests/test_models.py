@@ -77,3 +77,17 @@ def test_siamese_shared_encoder_is_symmetric(rng):
     # the 5 down blocks.
     enc_keys = [k for k in v["params"] if k.startswith("dconv_down")]
     assert len(enc_keys) == 4
+
+
+def test_siamese_unet_multispectral_13band(rng):
+    """n_channels is configurable (the reference fixes 3 and carries a dead
+    Sentinel-2 13-band branch, evaluate.py:73-75; here it's live)."""
+    import jax.numpy as jnp
+
+    from gan_aug_pfa_tpu.models import SiameseUNet
+
+    model = SiameseUNet(n_channels=13, n_classes=1)
+    x = jnp.zeros((1, 32, 32, 13), jnp.float32)
+    variables = model.init(rng, x, x, train=False)
+    out = model.apply(variables, x, x, train=False)
+    assert out.shape == (1, 32, 32, 1)

@@ -381,6 +381,125 @@ class Study:
                 raise
 
 
+def _optuna_schema(db_path: str) -> bool:
+    """True when the SQLite file carries real Optuna's schema (its
+    ``studies`` table has a ``study_name`` column; ours has ``name``)."""
+    import os
+
+    if db_path == ":memory:" or not os.path.exists(db_path):
+        return False
+    conn = sqlite3.connect(db_path)
+    try:
+        cols = [r[1] for r in conn.execute("PRAGMA table_info(studies)")]
+        return "study_name" in cols
+    except sqlite3.Error:
+        return False
+    finally:
+        conn.close()
+
+
+class OptunaSchemaStudy:
+    """Read-only view over a study stored by REAL Optuna (its RDB schema),
+    so study artifacts like the reference's shipped optuna_study.db can be
+    inspected with show_optuna_results.py without optuna installed.
+
+    Decoding notes (validated against the reference DB): float/int params
+    store the value in ``trial_params.param_value``; categorical params
+    store the CHOICE INDEX, with the choices list in ``distribution_json``.
+    """
+
+    def __init__(self, study_name: str, storage: str):
+        if not storage.startswith("sqlite:///"):
+            raise ValueError(f"Unsupported storage: {storage}")
+        self.study_name = study_name
+        self._conn = sqlite3.connect(storage[len("sqlite:///"):])
+        row = self._conn.execute(
+            "SELECT study_id FROM studies WHERE study_name=?",
+            (study_name,),
+        ).fetchone()
+        if row is None:
+            raise KeyError(f"No study named {study_name!r} in {storage}")
+        self._study_id = row[0]
+        drow = self._conn.execute(
+            "SELECT direction FROM study_directions WHERE study_id=? AND "
+            "objective=0",
+            (self._study_id,),
+        ).fetchone()
+        self.direction = (
+            "minimize" if (drow is None or drow[0] == "MINIMIZE")
+            else "maximize"
+        )
+
+    @staticmethod
+    def _decode_param(value: float, dist_json: str):
+        try:
+            dist = json.loads(dist_json)
+        except (TypeError, json.JSONDecodeError):
+            return value
+        name = dist.get("name", "")
+        attrs = dist.get("attributes", {})
+        if name == "CategoricalDistribution":
+            choices = attrs.get("choices", [])
+            i = int(value)
+            return choices[i] if 0 <= i < len(choices) else value
+        if name == "IntDistribution" or "Int" in name:
+            return int(value)
+        return value
+
+    @property
+    def trials(self) -> List[FrozenTrial]:
+        out = []
+        rows = self._conn.execute(
+            "SELECT trial_id, number, state, datetime_start, "
+            "datetime_complete FROM trials WHERE study_id=? ORDER BY number",
+            (self._study_id,),
+        ).fetchall()
+        for trial_id, number, state, dts, dtc in rows:
+            params = {
+                n: self._decode_param(v, dj)
+                for n, v, dj in self._conn.execute(
+                    "SELECT param_name, param_value, distribution_json "
+                    "FROM trial_params WHERE trial_id=?",
+                    (trial_id,),
+                )
+            }
+            vrow = self._conn.execute(
+                "SELECT value FROM trial_values WHERE trial_id=? AND "
+                "objective=0",
+                (trial_id,),
+            ).fetchone()
+            inter = {
+                s: v
+                for s, v in self._conn.execute(
+                    "SELECT step, intermediate_value FROM "
+                    "trial_intermediate_values WHERE trial_id=?",
+                    (trial_id,),
+                )
+            }
+            try:
+                st = TrialState(state)
+            except ValueError:
+                st = TrialState.FAIL
+            out.append(
+                FrozenTrial(
+                    number, st, vrow[0] if vrow else None, params, inter,
+                    dts, dtc,
+                )
+            )
+        return out
+
+    best_trial = Study.best_trial
+    best_params = Study.best_params
+    best_value = Study.best_value
+
+    def optimize(self, *a, **k):
+        raise RuntimeError(
+            "This study file uses real Optuna's storage schema; ministudy "
+            "opens it read-only.  Install optuna to continue tuning into "
+            "it, or point --tune at a different storage file."
+        )
+
+
 def create_study(
     study_name: str = "study",
     storage: Optional[str] = None,
@@ -389,6 +508,14 @@ def create_study(
     pruner: Optional[MedianPruner] = None,
     sampler_seed: Optional[int] = None,
 ) -> Study:
+    if storage and storage.startswith("sqlite:///") and _optuna_schema(
+        storage[len("sqlite:///"):]
+    ):
+        raise ValueError(
+            "Storage file was written by real Optuna; ministudy cannot "
+            "write its schema.  Use show_optuna_results.py to inspect it, "
+            "install optuna, or choose a different storage path."
+        )
     if not load_if_exists and storage and storage.startswith("sqlite:///"):
         # Error on existing study (optuna raises DuplicatedStudyError).
         path = storage[len("sqlite:///"):]
@@ -412,5 +539,11 @@ def create_study(
     return Study(study_name, storage, direction, pruner, sampler_seed)
 
 
-def load_study(study_name: str, storage: str) -> Study:
+def load_study(study_name: str, storage: str):
+    """Load for inspection: transparently reads real-Optuna-schema files
+    (e.g. the reference's shipped optuna_study.db) read-only."""
+    if storage.startswith("sqlite:///") and _optuna_schema(
+        storage[len("sqlite:///"):]
+    ):
+        return OptunaSchemaStudy(study_name, storage)
     return Study(study_name, storage)

@@ -125,3 +125,76 @@ def test_guided_sampling_improves(tmp_path):
     last20 = [t.params["x"] for t in study.trials[-20:]]
     mean_dist = sum(abs(x - 2.0) for x in last20) / len(last20)
     assert mean_dist < 2.5  # pure uniform would average ~3.6
+
+
+def test_load_study_reads_real_optuna_schema(tmp_path):
+    """load_study transparently reads a study written by REAL Optuna (its
+    RDB schema) — e.g. the reference's shipped optuna_study.db — including
+    categorical choice-index decoding."""
+    import json
+    import sqlite3
+
+    from gan_aug_pfa_tpu.tuning.ministudy import (
+        TrialState,
+        create_study,
+        load_study,
+    )
+
+    db = str(tmp_path / "real_optuna.db")
+    c = sqlite3.connect(db)
+    c.executescript(
+        """
+        CREATE TABLE studies (study_id INTEGER PRIMARY KEY, study_name TEXT);
+        CREATE TABLE study_directions (study_direction_id INTEGER PRIMARY
+          KEY, direction TEXT, study_id INTEGER, objective INTEGER);
+        CREATE TABLE trials (trial_id INTEGER PRIMARY KEY, number INTEGER,
+          study_id INTEGER, state TEXT, datetime_start TEXT,
+          datetime_complete TEXT);
+        CREATE TABLE trial_params (param_id INTEGER PRIMARY KEY,
+          trial_id INTEGER, param_name TEXT, param_value REAL,
+          distribution_json TEXT);
+        CREATE TABLE trial_values (trial_value_id INTEGER PRIMARY KEY,
+          trial_id INTEGER, objective INTEGER, value REAL, value_type TEXT);
+        CREATE TABLE trial_intermediate_values (trial_intermediate_value_id
+          INTEGER PRIMARY KEY, trial_id INTEGER, step INTEGER,
+          intermediate_value REAL, intermediate_value_type TEXT);
+        """
+    )
+    c.execute("INSERT INTO studies VALUES (1, 's')")
+    c.execute("INSERT INTO study_directions VALUES (1, 'MINIMIZE', 1, 0)")
+    c.execute("INSERT INTO trials VALUES (1, 0, 1, 'COMPLETE', 't0', 't1')")
+    c.execute("INSERT INTO trials VALUES (2, 1, 1, 'PRUNED', 't0', 't1')")
+    cat = json.dumps({"name": "CategoricalDistribution",
+                      "attributes": {"choices": ["AdamW", "Adam"]}})
+    flt = json.dumps({"name": "FloatDistribution",
+                      "attributes": {"low": 1e-5, "high": 1e-2}})
+    c.execute("INSERT INTO trial_params VALUES (1, 1, 'optimizer', 1, ?)",
+              (cat,))
+    c.execute("INSERT INTO trial_params VALUES (2, 1, 'lr', 3e-4, ?)",
+              (flt,))
+    c.execute(
+        "INSERT INTO trial_values VALUES (1, 1, 0, 0.42, 'FINITE')"
+    )
+    c.execute(
+        "INSERT INTO trial_intermediate_values VALUES (1, 1, 1, 0.5, "
+        "'FINITE')"
+    )
+    c.commit()
+    c.close()
+
+    study = load_study("s", f"sqlite:///{db}")
+    trials = study.trials
+    assert len(trials) == 2
+    assert trials[0].state == TrialState.COMPLETE
+    best = study.best_trial
+    assert best.value == pytest.approx(0.42)
+    assert best.params["optimizer"] == "Adam"  # choice-index decoded
+    assert best.params["lr"] == pytest.approx(3e-4)
+    assert best.intermediate_values == {1: 0.5}
+
+    # Writing into a real-Optuna file is refused with a clear error.
+    with pytest.raises(ValueError, match="real Optuna"):
+        create_study(study_name="s", storage=f"sqlite:///{db}",
+                     load_if_exists=True)
+    with pytest.raises(RuntimeError, match="read-only"):
+        study.optimize(lambda t: 0.0, n_trials=1)

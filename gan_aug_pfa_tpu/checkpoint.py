@@ -12,6 +12,15 @@ SURVEY.md §5.3-5.4).  Here:
   * writes are atomic (tmp file + rename) so an interrupted save never
     corrupts the previous checkpoint — the failure-tolerance analog of the
     reference's try/except around torch.save (train.py:310-321).
+
+Design note (why flax msgpack rather than Orbax): the reference's contract
+is one flat FILE per checkpoint with a meaningful stem (best_model,
+model_epoch_N, generator_epoch_N... — train.py:307-321, train_gan.py:149-154,
+loaded by name at generate_synthetic_data.py:18 and evaluate.py:20).  Orbax
+manages step-numbered DIRECTORIES behind a CheckpointManager, which breaks
+that file-naming contract; at these sizes (~0.5 GB max) synchronous
+single-file msgpack writes are sub-second, so Orbax's async machinery buys
+nothing.  Multi-host runs save on process 0 only (params are replicated).
 """
 
 from __future__ import annotations

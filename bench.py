@@ -25,14 +25,15 @@ TORCH_CPU_SIAMESE_IPS = 0.3767
 TORCH_CPU_GAN_IPS = 0.597
 
 
-def bench_siamese():
+def bench_siamese(batched_encoder: bool = True):
     import numpy as np
     import jax
 
     from gan_aug_pfa_tpu.config import SiameseTrainConfig
     from gan_aug_pfa_tpu.train import SiameseTrainer
 
-    cfg = SiameseTrainConfig(batch_size=4, compute_dtype="bfloat16")
+    cfg = SiameseTrainConfig(batch_size=4, compute_dtype="bfloat16",
+                             batched_encoder=batched_encoder)
     trainer = SiameseTrainer(cfg, augment=False)
     state = trainer.init_state(jax.random.PRNGKey(0), (128, 128))
 
@@ -115,7 +116,11 @@ def bench_gan():
 
 
 def main() -> None:
-    siamese_ips, ms_step, loss = bench_siamese()
+    # Headline: the framework's fast path (batched 2B encoder pass; same
+    # params and eval forward as the reference's two-pass form — see
+    # models/siamese_unet.py).  The parity-exact two-pass number follows
+    # on stderr.
+    siamese_ips, ms_step, loss = bench_siamese(batched_encoder=True)
     print(
         json.dumps(
             {
@@ -127,10 +132,20 @@ def main() -> None:
         )
     )
     print(
-        f"# siamese: {ms_step:.2f} ms/step (bs=4 @128px, epoch-scan path), "
-        f"loss={loss:.4f}, baseline={TORCH_CPU_SIAMESE_IPS} img/s (torch-cpu)",
+        f"# siamese: {ms_step:.2f} ms/step (bs=4 @128px, epoch-scan path, "
+        f"batched encoder), loss={loss:.4f}, "
+        f"baseline={TORCH_CPU_SIAMESE_IPS} img/s (torch-cpu)",
         file=sys.stderr,
     )
+    try:
+        ips2, ms2, _ = bench_siamese(batched_encoder=False)
+        print(
+            f"# siamese (reference-parity two-pass encoder): {ips2:.2f} "
+            f"img/s, {ms2:.2f} ms/step",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# two-pass bench skipped: {e}", file=sys.stderr)
     try:
         gan_ips, gan_ms, ld, lg = bench_gan()
         print(

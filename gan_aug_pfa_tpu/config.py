@@ -74,6 +74,10 @@ class SiameseTrainConfig:
     # unstable under Mosaic kernel launches (hangs observed 2026-08-16).
     fused_loss: bool = False
     pallas_augment: bool = False
+    # Run the shared encoder as ONE 2B-batch pass (~15% faster train step;
+    # train-mode BN uses joint batch stats over both images — eval forward
+    # and the param tree are identical to the reference's two-pass form).
+    batched_encoder: bool = False
     # Observability (SURVEY.md §5.1-5.2 — absent in the reference):
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
     debug_nans: bool = False  # jax_debug_nans numeric sanitizer

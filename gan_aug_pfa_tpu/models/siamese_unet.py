@@ -37,9 +37,20 @@ def max_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class SiameseUNet(nn.Module):
+    """batched_encoder=True runs BOTH images through the shared encoder as
+    one 2B-batch pass (one set of conv dispatches at twice the batch —
+    ~15% faster per train step on v5e at bs4/128px, measured 2026-08-16).
+    The parameter tree and eval-mode forward (running-stat BN) are
+    IDENTICAL to the two-pass form; only train-mode BatchNorm changes:
+    batch statistics are computed jointly over both images' activations
+    instead of per-pass sequentially (the reference's two sequential
+    forward_encoder calls, models.py:106-107).  Default False for
+    reference parity."""
+
     n_channels: int = 3
     n_classes: int = 1
     dtype: Dtype = jnp.float32
+    batched_encoder: bool = False
 
     def setup(self):
         dt = self.dtype
@@ -83,8 +94,15 @@ class SiameseUNet(nn.Module):
         """
         x1 = x1.astype(self.dtype)
         x2 = x2.astype(self.dtype)
-        c1a, c2a, c3a, c4a, ba = self.encode(x1, train)
-        c1b, c2b, c3b, c4b, bb = self.encode(x2, train)
+        if self.batched_encoder:
+            b = x1.shape[0]
+            feats = self.encode(jnp.concatenate([x1, x2], axis=0), train)
+            (c1a, c1b), (c2a, c2b), (c3a, c3b), (c4a, c4b), (ba, bb) = (
+                (t[:b], t[b:]) for t in feats
+            )
+        else:
+            c1a, c2a, c3a, c4a, ba = self.encode(x1, train)
+            c1b, c2b, c3b, c4b, bb = self.encode(x2, train)
 
         bott = jnp.concatenate([ba, bb], axis=-1)
         up = upsample2x_align_corners(bott)

@@ -60,7 +60,7 @@ class SiameseTrainer:
         )
         self.model = SiameseUNet(
             n_channels=config.n_channels, n_classes=config.n_classes,
-            dtype=dtype,
+            dtype=dtype, batched_encoder=config.batched_encoder,
         )
         self.tx = make_optimizer(
             config.optimizer, config.learning_rate, config.weight_decay

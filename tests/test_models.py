@@ -91,3 +91,32 @@ def test_siamese_unet_multispectral_13band(rng):
     variables = model.init(rng, x, x, train=False)
     out = model.apply(variables, x, x, train=False)
     assert out.shape == (1, 32, 32, 1)
+
+
+def test_batched_encoder_eval_equivalence(rng):
+    """batched_encoder=True: identical param tree, identical eval-mode
+    forward (running-stat BN) — only train-mode batch statistics differ."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gan_aug_pfa_tpu.models import SiameseUNet
+
+    two = SiameseUNet(n_channels=3, n_classes=1)
+    one = SiameseUNet(n_channels=3, n_classes=1, batched_encoder=True)
+    r = np.random.RandomState(0)
+    x1 = jnp.asarray(r.rand(2, 32, 32, 3).astype(np.float32))
+    x2 = jnp.asarray(r.rand(2, 32, 32, 3).astype(np.float32))
+    v = two.init(rng, x1, x2, train=False)
+    # Same tree structure -> same variables work for both.
+    a = two.apply(v, x1, x2, train=False)
+    b = one.apply(v, x1, x2, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # Train mode runs and updates batch stats (values differ by design).
+    out, mut = one.apply(v, x1, x2, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 32, 32, 1)
+    leaves_before = jax.tree_util.tree_leaves(v["batch_stats"])
+    leaves_after = jax.tree_util.tree_leaves(mut["batch_stats"])
+    assert any(
+        not np.allclose(x, y) for x, y in zip(leaves_before, leaves_after)
+    )

@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas-augment", action="store_true",
                    help="[extension] route photometric augmentation through "
                         "the fused Pallas kernel")
+    p.add_argument("--batched-encoder", action="store_true",
+                   help="[extension] run the shared Siamese encoder as one "
+                        "2B-batch pass (~15%% faster; train-mode BN stats "
+                        "become joint over both images)")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="[extension] write a jax.profiler trace + per-step "
                         "timing stats")
@@ -113,6 +117,7 @@ def main() -> None:
         resume=args.resume,
         fused_loss=args.fused_loss,
         pallas_augment=args.pallas_augment,
+        batched_encoder=args.batched_encoder,
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,
     )

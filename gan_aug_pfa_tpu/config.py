@@ -103,6 +103,10 @@ class GANTrainConfig:
     compute_dtype: str = "bfloat16"
     data_parallel: bool = True
     resume: bool = False
+    # One 2B discriminator pass over [real | fake] (~8% faster step); D's
+    # BN batch stats then mix real and fake activations — a known GAN
+    # behavior change vs the reference's two sequential passes, so opt-in.
+    batched_disc: bool = False
     profile_dir: Optional[str] = None
     debug_nans: bool = False
 

@@ -145,16 +145,34 @@ class GANTrainer:
         )
         fake_b = jax.lax.stop_gradient(fake_b)
 
-        def d_loss_fn(d_params):
-            pred_real, d_bs = self._disc_apply(
-                d_params, state_d.batch_stats, real_a, real_b, train=True
-            )
-            pred_fake, d_bs = self._disc_apply(
-                d_params, d_bs, real_a, fake_b, train=True
-            )
-            loss_real = gan_bce_loss(pred_real, True)
-            loss_fake = gan_bce_loss(pred_fake, False)
-            return (loss_real + loss_fake) * 0.5, d_bs
+        if self.config.batched_disc:
+            # One 2B discriminator pass over [real | fake] (~8% faster
+            # step).  Deviation from the reference: D's BatchNorm batch
+            # statistics mix real and fake activations — a known GAN
+            # behavior change, hence opt-in.
+            def d_loss_fn(d_params):
+                a2 = jnp.concatenate([real_a, real_a], axis=0)
+                b2 = jnp.concatenate([real_b, fake_b], axis=0)
+                pred, d_bs = self._disc_apply(
+                    d_params, state_d.batch_stats, a2, b2, train=True
+                )
+                nb = real_a.shape[0]
+                loss_real = gan_bce_loss(pred[:nb], True)
+                loss_fake = gan_bce_loss(pred[nb:], False)
+                return (loss_real + loss_fake) * 0.5, d_bs
+        else:
+            # Reference semantics: two sequential D passes
+            # (train_gan.py:57-60), BN stats updated per pass.
+            def d_loss_fn(d_params):
+                pred_real, d_bs = self._disc_apply(
+                    d_params, state_d.batch_stats, real_a, real_b, train=True
+                )
+                pred_fake, d_bs = self._disc_apply(
+                    d_params, d_bs, real_a, fake_b, train=True
+                )
+                loss_real = gan_bce_loss(pred_real, True)
+                loss_fake = gan_bce_loss(pred_fake, False)
+                return (loss_real + loss_fake) * 0.5, d_bs
 
         (loss_d, d_bs), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True

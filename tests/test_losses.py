@@ -122,3 +122,28 @@ def test_losses_jit_and_grad():
     )(jnp.asarray(LOGITS))
     assert grad.shape == LOGITS.shape
     assert bool(jnp.all(jnp.isfinite(grad)))
+
+
+def test_gan_trainer_batched_disc_smoke():
+    """batched_disc=True: one [real|fake] D pass; the step runs and both
+    losses stay finite (CPU, tiny 128px)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gan_aug_pfa_tpu.config import GANTrainConfig
+    from gan_aug_pfa_tpu.train import GANTrainer
+
+    cfg = GANTrainConfig(
+        batch_size=2, compute_dtype="float32", target_size=(128, 128),
+        data_parallel=False, batched_disc=True,
+    )
+    tr = GANTrainer(cfg)
+    sg, sd = tr.init_states(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    ds = tuple(
+        jnp.asarray(rng.rand(4, 128, 128, 3).astype(np.float32))
+        for _ in range(2)
+    )
+    sg, sd, ld, lg = tr.train_epoch(sg, sd, ds, 4, np.random.RandomState(0))
+    assert np.isfinite(ld) and np.isfinite(lg)

@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-data-parallel", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--batched-disc", action="store_true",
+                   help="one 2B discriminator pass over [real|fake] (~8%% "
+                        "faster; D's BN batch stats mix real and fake)")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace + per-step timing stats")
     p.add_argument("--debug-nans", action="store_true",
@@ -71,6 +74,7 @@ def main() -> None:
         compute_dtype=args.compute_dtype,
         data_parallel=not args.no_data_parallel,
         resume=args.resume,
+        batched_disc=args.batched_disc,
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,
     )

@@ -28,7 +28,6 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional
 
-import jax
 from flax import serialization
 
 

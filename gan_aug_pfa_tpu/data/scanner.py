@@ -24,7 +24,6 @@ from typing import List, Optional
 from PIL import Image, UnidentifiedImageError
 
 from ..config import (
-    ALL_CITIES,
     IMAGES_SUBTREE,
     LABELS_SUBTREE,
     TRAIN_CITIES,

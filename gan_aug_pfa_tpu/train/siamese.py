@@ -20,7 +20,7 @@ Loss-epoch accounting matches the reference: mean of per-batch losses
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,9 +21,6 @@ reference (BASELINE.md) becomes seconds.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, Optional
-
 import jax
 import numpy as np
 

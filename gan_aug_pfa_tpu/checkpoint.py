@@ -41,10 +41,18 @@ def _to_state_dict(state) -> Dict[str, Any]:
     return d
 
 
-def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None
-                    ) -> None:
-    """Serialize a TrainState (params/batch_stats/opt_state/step) + extras."""
+def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None,
+                    model_only: bool = False) -> None:
+    """Serialize a TrainState (params/batch_stats/opt_state/step) + extras.
+
+    model_only=True drops optimizer state and step — the reference's
+    best_model/model_epoch_N/.pth contract is a bare model state_dict
+    (train.py:311,318), and it is 3x smaller to pull from device; resume
+    uses the full last_state checkpoint."""
     payload = _to_state_dict(state)
+    if model_only:
+        payload = {"params": payload["params"],
+                   "batch_stats": payload["batch_stats"]}
     if extra:
         payload["extra"] = extra
     data = serialization.to_bytes(payload)
@@ -67,7 +75,8 @@ def restore_checkpoint(path: str, state, with_extra: bool = False):
     payload = serialization.msgpack_restore(data)
     template = _to_state_dict(state)
     restored = {
-        k: serialization.from_state_dict(template[k], payload[k], name=k)
+        k: (serialization.from_state_dict(template[k], payload[k], name=k)
+            if k in payload else template[k])  # model-only checkpoints
         for k in template
     }
     new_state = state.replace(

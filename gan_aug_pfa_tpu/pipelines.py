@@ -191,7 +191,8 @@ def _run_siamese_epochs(
                 checkpoint_dir, ckpt.checkpoint_name("best_model")
             )
             ckpt.save_checkpoint(
-                path, state, extra={"epoch": epoch, "val_loss": val_loss}
+                path, state, extra={"epoch": epoch, "val_loss": val_loss},
+                model_only=True,
             )
             if verbose:
                 print(
@@ -202,19 +203,27 @@ def _run_siamese_epochs(
             path = os.path.join(
                 checkpoint_dir, ckpt.checkpoint_name(f"model_epoch_{epoch}")
             )
-            ckpt.save_checkpoint(path, state, extra={"epoch": epoch})
+            ckpt.save_checkpoint(path, state, extra={"epoch": epoch},
+                                 model_only=True)
             if verbose:
                 print(f"Checkpoint saved to {path}")
-        # Rolling resume state (improvement over the reference).
-        ckpt.save_checkpoint(
-            os.path.join(checkpoint_dir, ckpt.checkpoint_name("last_state")),
-            state,
-            extra={
-                "epoch": epoch,
-                "best_val_loss": best_val_loss,
-                "scheduler": scheduler.state_dict(),
-            },
-        )
+        # Rolling resume state (improvement over the reference).  Saved on
+        # the save_every cadence, not every epoch: serializing the full
+        # train state (params + optimizer moments, ~0.5 GB) is a
+        # device->host pull that would otherwise dominate wall clock on
+        # slow links.
+        if epoch % train_cfg.save_every == 0 or epoch == train_cfg.num_epochs:
+            ckpt.save_checkpoint(
+                os.path.join(
+                    checkpoint_dir, ckpt.checkpoint_name("last_state")
+                ),
+                state,
+                extra={
+                    "epoch": epoch,
+                    "best_val_loss": best_val_loss,
+                    "scheduler": scheduler.state_dict(),
+                },
+            )
     history["best_val_loss"] = best_val_loss
     history["state"] = state
     history["trainer"] = trainer
@@ -311,8 +320,13 @@ def run_gan_training(
                 checkpoint_dir,
                 ckpt.checkpoint_name(f"discriminator_epoch_{epoch}"),
             )
-            ckpt.save_checkpoint(pg, sg, extra={"epoch": epoch})
-            ckpt.save_checkpoint(pd, sd, extra={"epoch": epoch})
+            # Epoch-numbered checkpoints are model-only (the reference
+            # saves bare state_dicts, train_gan.py:149-154); the last_*
+            # pair keeps optimizer state for resume.
+            ckpt.save_checkpoint(pg, sg, extra={"epoch": epoch},
+                                 model_only=True)
+            ckpt.save_checkpoint(pd, sd, extra={"epoch": epoch},
+                                 model_only=True)
             ckpt.save_checkpoint(
                 os.path.join(
                     checkpoint_dir, ckpt.checkpoint_name("last_generator")

@@ -202,3 +202,31 @@ def test_evaluation_missing_checkpoint_graceful(workdir, tmp_path):
         DataConfig(root_dir=str(empty)), EvalConfig(), verbose=False
     )
     assert result is None
+
+
+def test_model_only_checkpoint_roundtrip(tmp_path):
+    """best_model/model_epoch_N are model-only (the reference's bare
+    state_dict contract); restore tolerates the missing optimizer state."""
+    import jax
+    import jax.numpy as jnp
+
+    from gan_aug_pfa_tpu import checkpoint as ckpt
+    from gan_aug_pfa_tpu.train import SiameseTrainer
+
+    cfg = SiameseTrainConfig(
+        batch_size=2, compute_dtype="float32", data_parallel=False
+    )
+    tr = SiameseTrainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0), (16, 16))
+    p = str(tmp_path / "best_model.msgpack")
+    ckpt.save_checkpoint(p, state, extra={"epoch": 3}, model_only=True)
+    full = str(tmp_path / "last_state.msgpack")
+    ckpt.save_checkpoint(full, state, extra={"epoch": 3})
+    import os
+
+    assert os.path.getsize(p) < os.path.getsize(full) / 2
+    restored, extra = ckpt.restore_checkpoint(p, state, with_extra=True)
+    assert extra["epoch"] == 3
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    assert jnp.allclose(a, b)

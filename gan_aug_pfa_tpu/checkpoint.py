@@ -28,6 +28,7 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional
 
+import jax
 from flax import serialization
 
 
@@ -53,6 +54,10 @@ def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None,
     if model_only:
         payload = {"params": payload["params"],
                    "batch_stats": payload["batch_stats"]}
+    # One batched device->host transfer for the whole tree up front:
+    # serialization.to_bytes would otherwise pull leaves one at a time
+    # (hundreds of round-trips — dominant on remote-device links).
+    payload = jax.device_get(payload)
     if extra:
         payload["extra"] = extra
     data = serialization.to_bytes(payload)

@@ -35,9 +35,9 @@ STORAGE = "sqlite:///optuna_study.db"  # reference train.py:340
 N_TRIALS = 50  # reference train.py:354
 
 
-def make_objective(data_cfg: DataConfig, verbose: bool = True,
-                   trial_epochs: int = TRIAL_EPOCHS):
-    """Build the Optuna objective with datasets cached once up front."""
+def load_tuning_datasets(data_cfg: DataConfig, verbose: bool = True):
+    """Decode/caches once for the whole study (the reference re-scans and
+    re-decodes per trial)."""
     train_samples = create_sample_lists(
         data_cfg.root_dir, data_cfg.dataset_subdir, data_cfg.synthetic_data_dir,
         mode="train", use_synthetic=data_cfg.use_synthetic, verbose=verbose,
@@ -51,6 +51,22 @@ def make_objective(data_cfg: DataConfig, verbose: bool = True,
     )
     val_ds = build_cached_dataset(
         val_samples, data_cfg.target_size, verbose=verbose
+    )
+    return train_ds, val_ds
+
+
+def make_objective(data_cfg: DataConfig, verbose: bool = True,
+                   trial_epochs: int = TRIAL_EPOCHS, mesh=None,
+                   datasets=None, name: str = ""):
+    """Build the Optuna objective.
+
+    mesh: optional sub-mesh this objective's trials train on — the
+    mechanism behind parallel trials across slice partitions.
+    datasets: optional pre-built (train_ds, val_ds) shared across workers.
+    """
+    train_ds, val_ds = (
+        datasets if datasets is not None
+        else load_tuning_datasets(data_cfg, verbose)
     )
 
     def objective(trial) -> float:
@@ -81,8 +97,8 @@ def make_objective(data_cfg: DataConfig, verbose: bool = True,
             optimizer=optimizer_name.lower(),
             seed=trial.number,
         )
-        trainer = SiameseTrainer(cfg, augment=True)  # augment=True per
-        # reference train.py:201
+        trainer = SiameseTrainer(cfg, mesh=mesh, augment=True)
+        # (augment=True per reference train.py:201)
         state = trainer.init_state(
             jax.random.PRNGKey(trial.number), data_cfg.target_size
         )
@@ -90,7 +106,7 @@ def make_objective(data_cfg: DataConfig, verbose: bool = True,
         dev_v = trainer._device_arrays(val_ds)
         if verbose:
             print(
-                f"Trial {trial.number}: lr={lr:.2e}, batch={batch_size}, "
+                f"{name}Trial {trial.number}: lr={lr:.2e}, batch={batch_size}, "
                 f"opt={optimizer_name}, wd={weight_decay:.2e}, "
                 f"f_alpha={focal_alpha:.2f}, f_gamma={focal_gamma:.2f}, "
                 f"loss_beta={loss_beta:.2f}, dice_smooth={dice_smooth:.2e}"
@@ -127,7 +143,13 @@ def run_tuning(
     study_name: str = STUDY_NAME,
     trial_epochs: int = TRIAL_EPOCHS,
     verbose: bool = True,
+    n_parallel: int = 1,
 ):
+    """Run the study.  n_parallel > 1 partitions the device slice into
+    n_parallel sub-meshes and runs that many trials CONCURRENTLY, one
+    data-parallel trial per partition (the BASELINE.json "multi-city
+    data-parallel training across a TPU slice" sweep shape) — trial
+    results land in the same shared study/storage."""
     study = create_study(
         study_name=study_name,
         storage=storage,
@@ -137,9 +159,51 @@ def run_tuning(
             n_startup_trials=5, n_warmup_steps=5, interval_steps=1
         ),
     )
-    objective = make_objective(data_cfg, verbose=verbose,
-                               trial_epochs=trial_epochs)
-    study.optimize(objective, n_trials=n_trials, n_jobs=1)
+    if n_parallel <= 1:
+        objective = make_objective(data_cfg, verbose=verbose,
+                                   trial_epochs=trial_epochs)
+        study.optimize(objective, n_trials=n_trials, n_jobs=1)
+    else:
+        import threading
+
+        devs = jax.devices()
+        n_parallel = min(n_parallel, max(1, len(devs)))
+        per = len(devs) // n_parallel
+        datasets = load_tuning_datasets(data_cfg, verbose)
+        # Each worker's sub-mesh over its own slice partition.
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+
+        meshes = [
+            _Mesh(_np.asarray(devs[k * per:(k + 1) * per]), ("data",))
+            if per > 1 else None  # 1-device partition: no mesh needed
+            for k in range(n_parallel)
+        ]
+        shares = [n_trials // n_parallel] * n_parallel
+        for k in range(n_trials % n_parallel):
+            shares[k] += 1
+        errors = []
+
+        def worker(k):
+            objective = make_objective(
+                data_cfg, verbose=verbose, trial_epochs=trial_epochs,
+                mesh=meshes[k], datasets=datasets, name=f"[w{k}] ",
+            )
+            try:
+                study.optimize(objective, n_trials=shares[k], n_jobs=1)
+            except Exception as e:  # noqa: BLE001 — surface after join
+                errors.append((k, e))
+
+        threads = [
+            threading.Thread(target=worker, args=(k,), daemon=True)
+            for k in range(n_parallel)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0][1]
     if verbose:
         print("\n--- Tuning Study Complete ---")
         print(f"Study name: {study_name}")

@@ -258,6 +258,10 @@ class Study:
 
     @property
     def trials(self) -> List[FrozenTrial]:
+        with self._lock:
+            return self._trials_locked()
+
+    def _trials_locked(self) -> List[FrozenTrial]:
         cur = self._conn.execute(
             "SELECT trial_id, number, state, value, datetime_start, "
             "datetime_complete FROM trials WHERE study_id=? ORDER BY number",

@@ -198,3 +198,25 @@ def test_load_study_reads_real_optuna_schema(tmp_path):
                      load_if_exists=True)
     with pytest.raises(RuntimeError, match="read-only"):
         study.optimize(lambda t: 0.0, n_trials=1)
+
+
+def test_parallel_trials_across_submeshes(oscd_tree, tmp_path):
+    """n_parallel=2: trials run concurrently on disjoint device-slice
+    partitions (the BASELINE 'sweep across a TPU slice' shape), all landing
+    in one shared study."""
+    from gan_aug_pfa_tpu.config import DataConfig
+    from gan_aug_pfa_tpu.tune import run_tuning
+    from gan_aug_pfa_tpu.tuning import TrialState
+
+    data_cfg = DataConfig(root_dir=str(oscd_tree), target_size=(32, 32))
+    storage = f"sqlite:///{tmp_path}/par.db"
+    study = run_tuning(
+        data_cfg, n_trials=2, storage=storage, study_name="par_test",
+        trial_epochs=1, verbose=False, n_parallel=2,
+    )
+    trials = study.trials
+    assert len(trials) == 2
+    assert all(
+        t.state in (TrialState.COMPLETE, TrialState.PRUNED) for t in trials
+    )
+    assert study.best_trial.value is not None

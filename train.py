@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="[extension] disable multi-device data parallelism")
     p.add_argument("--n-trials", type=int, default=50,
                    help="[extension] number of tuning trials for --tune")
+    p.add_argument("--parallel-trials", type=int, default=1,
+                   help="[extension] run N trials concurrently, one "
+                        "data-parallel trial per device-slice partition")
     p.add_argument("--fused-loss", action="store_true",
                    help="[extension] use the single-pass Pallas FocalDice "
                         "kernel (ops/pallas_kernels/fused_loss.py)")
@@ -103,7 +106,8 @@ def main() -> None:
     if args.tune:
         from gan_aug_pfa_tpu.tune import run_tuning
 
-        run_tuning(data_cfg, n_trials=args.n_trials)
+        run_tuning(data_cfg, n_trials=args.n_trials,
+                   n_parallel=args.parallel_trials)
         return
     train_cfg = SiameseTrainConfig(
         batch_size=args.batch_size,

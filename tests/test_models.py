@@ -28,7 +28,7 @@ def test_siamese_unet_param_count_and_shape(rng):
     v = m.init(rng, x, x, train=False)
     assert n_params(v) == 41_160_525
     out = m.apply(v, x, x, train=False)
-    assert out.shape == (2, 32, 32, 1)
+    assert out.shape == (2, 16, 16, 1)
     assert out.dtype == jnp.float32
 
 
@@ -105,8 +105,8 @@ def test_batched_encoder_eval_equivalence(rng):
     two = SiameseUNet(n_channels=3, n_classes=1)
     one = SiameseUNet(n_channels=3, n_classes=1, batched_encoder=True)
     r = np.random.RandomState(0)
-    x1 = jnp.asarray(r.rand(2, 32, 32, 3).astype(np.float32))
-    x2 = jnp.asarray(r.rand(2, 32, 32, 3).astype(np.float32))
+    x1 = jnp.asarray(r.rand(2, 16, 16, 3).astype(np.float32))
+    x2 = jnp.asarray(r.rand(2, 16, 16, 3).astype(np.float32))
     v = two.init(rng, x1, x2, train=False)
     # Same tree structure -> same variables work for both.
     a = two.apply(v, x1, x2, train=False)
@@ -114,7 +114,7 @@ def test_batched_encoder_eval_equivalence(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     # Train mode runs and updates batch stats (values differ by design).
     out, mut = one.apply(v, x1, x2, train=True, mutable=["batch_stats"])
-    assert out.shape == (2, 32, 32, 1)
+    assert out.shape == (2, 16, 16, 1)
     leaves_before = jax.tree_util.tree_leaves(v["batch_stats"])
     leaves_after = jax.tree_util.tree_leaves(mut["batch_stats"])
     assert any(

@@ -59,7 +59,11 @@ def _setup_observability(trainer, cfg, items_per_step: int, verbose: bool):
         if verbose:
             print("jax_debug_nans enabled (numeric sanitizer).")
     if cfg.profile_dir:
-        trainer.step_timer = StepTimer(items_per_step=items_per_step)
+        # Two compiled shapes exist (full batch + trailing partial batch),
+        # so the first TWO steps are compile-inflated and excluded.
+        trainer.step_timer = StepTimer(
+            items_per_step=items_per_step, skip_first=2
+        )
     return trace(cfg.profile_dir)
 
 

@@ -68,10 +68,12 @@ class SiameseTrainConfig:
     data_parallel: bool = True
     resume: bool = False  # resume-from-checkpoint (reference lacks this)
     # Pallas kernel opt-ins (ops/pallas_kernels/).  Numerically identical to
-    # the default XLA paths (tests/test_pallas.py proves it in interpret
-    # mode); OFF by default because XLA's own fusion is already at parity at
-    # the reference's 128px workload and the current axon TPU tunnel is
-    # unstable under Mosaic kernel launches (hangs observed 2026-08-16).
+    # the default XLA paths (tests/test_pallas.py in interpret mode, plus
+    # compiled-on-TPU checks 2026-08-16: augmented train step with both
+    # kernels = 18.36 ms/step vs 18.32 pure-XLA).  OFF by default because
+    # XLA's own fusion is already at parity at the reference's 128px
+    # workload and the axon tunnel showed occasional instability under
+    # Mosaic launches.
     fused_loss: bool = False
     pallas_augment: bool = False
     # Run the shared encoder as ONE 2B-batch pass (~15% faster train step;

@@ -5,13 +5,13 @@ One VMEM-resident pass per image applying, in the reference chain's order
 transform list, dataset.py:172-193):
 
   1. ColorJitter (brightness/contrast/saturation, random torchvision order);
-  2. 3x3 separable Gaussian blur, reflect padding;
-  3. horizontal / vertical flips (shared flags with the paired image+label).
+  2. 3x3 separable Gaussian blur, reflect padding.
 
-This is the BASELINE.json-named fused augmentation kernel: the five
-elementwise stages read and write HBM once instead of once per stage.  The
-geometric warps (affine, rotation) stay in XLA-land — they are gathers the
-MXU/VPU can't tile better than XLA's own lowering.
+This is the BASELINE.json-named fused augmentation kernel: the photometric
+stages read and write HBM once instead of once per stage.  The flips ride
+in the XLA wrapper (Mosaic has no `rev` lowering; XLA flips are layout
+ops), and the geometric warps (affine, rotation) stay in XLA-land — they
+are gathers the MXU/VPU can't tile better than XLA's own lowering.
 
 Parameter protocol: all randomness is sampled OUTSIDE the kernel with
 jax.random (data/transforms.sample_augment_params), so the kernel is a pure
@@ -83,18 +83,16 @@ def _blur3(x, sigma):
 
 
 def _kernel(img_ref, par_ref, out_ref):
+    # par_ref is the whole (B, 8) SMEM buffer (a (1, 8) blocked SMEM spec
+    # would violate the (8, 128) tiling rule); each grid step reads its row.
+    i = pl.program_id(0)
     x = img_ref[0]  # (3, H, W)
-    factors = jnp.stack([par_ref[0, 0], par_ref[0, 1], par_ref[0, 2]])
-    order_idx = par_ref[0, 3].astype(jnp.int32)
-    sigma = par_ref[0, 4]
-    flip_h = par_ref[0, 5] > 0.5
-    flip_v = par_ref[0, 6] > 0.5
+    factors = jnp.stack([par_ref[i, 0], par_ref[i, 1], par_ref[i, 2]])
+    order_idx = par_ref[i, 3].astype(jnp.int32)
+    sigma = par_ref[i, 4]
 
     x = _apply_jitter(x, factors, order_idx)
-    x = _blur3(x, sigma)
-    x = jnp.where(flip_h, jnp.flip(x, axis=2), x)
-    x = jnp.where(flip_v, jnp.flip(x, axis=1), x)
-    out_ref[0] = x
+    out_ref[0] = _blur3(x, sigma)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -114,7 +112,7 @@ def photometric_flip_chw(
         in_specs=[
             pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i: (i, 0),
+            pl.BlockSpec((b, 8), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
@@ -129,7 +127,12 @@ def photometric_flip_batch(
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """NHWC wrapper: transpose to channels-first for VPU-friendly tiling,
-    run the fused kernel, transpose back (both fuse into neighbors)."""
+    run the fused jitter+blur kernel, transpose back, then apply the
+    shared flips (params cols 5/6) as XLA layout ops."""
     chw = jnp.transpose(imgs_nhwc, (0, 3, 1, 2))
     out = photometric_flip_chw(chw, params, interpret=interpret)
-    return jnp.transpose(out, (0, 2, 3, 1))
+    out = jnp.transpose(out, (0, 2, 3, 1))
+    flip_h = (params[:, 5] > 0.5)[:, None, None, None]
+    flip_v = (params[:, 6] > 0.5)[:, None, None, None]
+    out = jnp.where(flip_h, out[:, :, ::-1, :], out)
+    return jnp.where(flip_v, out[:, ::-1, :, :], out)

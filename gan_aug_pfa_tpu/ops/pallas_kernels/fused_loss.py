@@ -35,7 +35,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-_MAX_ROWS = 8192  # 4 MB per operand in f32 — comfortable in 16 MB VMEM.
+# Single-block cap: the kernel holds x, t and ~5 elementwise temporaries in
+# VMEM at once, so rows are bounded well below the naive 16MB/operand math
+# (2048 rows = 1 MB/buffer; measured: 8192 rows requested 27.8 MB scoped
+# VMEM and failed to compile).  Larger inputs fall back to the XLA path via
+# fits(); bs4 @128px (the headline workload) is 512 rows.
+_MAX_ROWS = 2048
 _PAD_LOGIT = -1e4  # sigmoid/softplus underflow to exactly 0.0 in f32.
 
 

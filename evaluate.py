@@ -40,6 +40,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target-size", type=str, default="128x128",
                    help="Must match the size used for training")
     p.add_argument("--num-visualizations", type=int, default=5)
+    p.add_argument("--post-process", action="store_true",
+                   help="Morphological opening+closing on predictions "
+                        "(the reference README's Step 6, implemented)")
+    p.add_argument("--post-process-kernel", type=int, default=3,
+                   help="Structuring-element side for --post-process")
+    p.add_argument("--ensemble", type=str, nargs="+", default=None,
+                   metavar="CKPT",
+                   help="Two or more checkpoints to ensemble by averaging "
+                        "sigmoid probabilities (the reference README's "
+                        "Step 7, implemented)")
     return p
 
 
@@ -57,6 +67,9 @@ def main() -> None:
         checkpoint_path=args.checkpoint_path,
         output_dir=args.output_dir,
         num_visualizations=args.num_visualizations,
+        post_process=args.post_process,
+        post_process_kernel=args.post_process_kernel,
+        ensemble_paths=tuple(args.ensemble) if args.ensemble else None,
     )
     from gan_aug_pfa_tpu import pipelines
 

@@ -124,6 +124,12 @@ class EvalConfig:
     num_visualizations: int = 5
     n_channels: int = 3
     n_classes: int = 1
+    # Extensions the reference README claims but never implements
+    # (reference README.md:145-153 Steps 6-7; no cv2/morphology or
+    # ensembling code exists there — SURVEY.md §6).
+    post_process: bool = False          # morphological opening+closing
+    post_process_kernel: int = 3
+    ensemble_paths: Optional[Tuple[str, ...]] = None  # avg sigmoid probs
 
 
 @dataclasses.dataclass

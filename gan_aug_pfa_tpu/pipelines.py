@@ -463,15 +463,26 @@ def run_evaluation(
         n_channels=eval_cfg.n_channels, n_classes=eval_cfg.n_classes
     )
     trainer = SiameseTrainer(train_cfg)
-    state = trainer.init_state(jax.random.PRNGKey(0), eval_cfg.target_size)
-    checkpoint_path = eval_cfg.checkpoint_path or os.path.join(
-        data_cfg.root_dir, "siamese_checkpoints",
-        ckpt.checkpoint_name("best_model"),
-    )
-    if not os.path.exists(checkpoint_path):
-        print(f"Error: Checkpoint file not found at {checkpoint_path}")
-        return None
-    state = ckpt.restore_checkpoint(checkpoint_path, state)
+    # Ensembling (reference README.md:150-153 Step 7, claimed there but
+    # never implemented): restore every checkpoint and average sigmoid
+    # probabilities across models.
+    if eval_cfg.ensemble_paths:
+        checkpoint_paths = list(eval_cfg.ensemble_paths)
+    else:
+        checkpoint_paths = [eval_cfg.checkpoint_path or os.path.join(
+            data_cfg.root_dir, "siamese_checkpoints",
+            ckpt.checkpoint_name("best_model"),
+        )]
+    states = []
+    for path in checkpoint_paths:
+        if not os.path.exists(path):
+            print(f"Error: Checkpoint file not found at {path}")
+            return None
+        base = trainer.init_state(jax.random.PRNGKey(0), eval_cfg.target_size)
+        states.append(ckpt.restore_checkpoint(path, base))
+    if verbose and len(states) > 1:
+        print(f"Ensembling {len(states)} checkpoints (averaged sigmoid "
+              f"probabilities).")
 
     dev = trainer._device_arrays(ds)
     bs = eval_cfg.batch_size
@@ -485,7 +496,21 @@ def run_evaluation(
         img1 = dev[0][idx[0]:idx[-1] + 1]
         img2 = dev[1][idx[0]:idx[-1] + 1]
         labels = ds.labels[idx[0]:idx[-1] + 1]
-        probs = np.asarray(trainer.predict(state, img1, img2))[..., 0]
+        prob_sum = trainer.predict(states[0], img1, img2)
+        for s in states[1:]:
+            prob_sum = prob_sum + trainer.predict(s, img1, img2)
+        probs = np.asarray(prob_sum / len(states))[..., 0]
+        if eval_cfg.post_process:
+            # Morphological opening+closing (reference README.md:145-148
+            # Step 6, implemented here — ops/morphology.py). Output is a
+            # {0,1} mask; downstream 0.5-threshold metrics are unchanged
+            # in form.
+            from .ops.morphology import postprocess_prediction
+
+            probs = np.asarray(postprocess_prediction(
+                jax.numpy.asarray(probs),
+                kernel_size=eval_cfg.post_process_kernel,
+            ))
         batch_metrics = jax.device_get(
             per_sample_metrics(probs, labels.astype(np.float32))
         )
@@ -579,26 +604,41 @@ def evaluate_single_pair(
         n_channels=eval_cfg.n_channels, n_classes=eval_cfg.n_classes
     )
     trainer = SiameseTrainer(train_cfg)
-    state = trainer.init_state(jax.random.PRNGKey(0), target)
-    checkpoint_path = eval_cfg.checkpoint_path or os.path.join(
-        data_cfg.root_dir, "siamese_checkpoints",
-        ckpt.checkpoint_name("best_model"),
-    )
-    if not os.path.exists(checkpoint_path):
-        print(f"Error: Checkpoint not found at {checkpoint_path}. Cannot "
-              f"evaluate single pair.")
-        return None
-    state = ckpt.restore_checkpoint(checkpoint_path, state)
+    if eval_cfg.ensemble_paths:
+        checkpoint_paths = list(eval_cfg.ensemble_paths)
+    else:
+        checkpoint_paths = [eval_cfg.checkpoint_path or os.path.join(
+            data_cfg.root_dir, "siamese_checkpoints",
+            ckpt.checkpoint_name("best_model"),
+        )]
+    states = []
+    for path in checkpoint_paths:
+        if not os.path.exists(path):
+            print(f"Error: Checkpoint not found at {path}. Cannot "
+                  f"evaluate single pair.")
+            return None
+        base = trainer.init_state(jax.random.PRNGKey(0), target)
+        states.append(ckpt.restore_checkpoint(path, base))
 
     # The reference's transform already normalized, so apply the raw model
     # (predict() would re-normalize): mirror by calling apply directly.
     import jax.numpy as jnp
 
-    logits = trainer.model.apply(
-        {"params": state.params, "batch_stats": state.batch_stats},
-        jnp.asarray(x1), jnp.asarray(x2), train=False,
-    )
-    probs = np.asarray(jax.nn.sigmoid(logits))[..., 0]
+    prob_sum = None
+    for state in states:
+        logits = trainer.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(x1), jnp.asarray(x2), train=False,
+        )
+        p = jax.nn.sigmoid(logits)
+        prob_sum = p if prob_sum is None else prob_sum + p
+    probs = np.asarray(prob_sum / len(states))[..., 0]
+    if eval_cfg.post_process:
+        from .ops.morphology import postprocess_prediction
+
+        probs = np.asarray(postprocess_prediction(
+            jnp.asarray(probs), kernel_size=eval_cfg.post_process_kernel,
+        ))
 
     visualize_sample(
         np.clip(x1[0], 0, 1), np.clip(x2[0], 0, 1),

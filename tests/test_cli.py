@@ -45,6 +45,13 @@ def test_evaluate_cli_reference_flags():
         "--label-path", "c.png", "--city-name", "pisa",
     ])
     assert args.image1_path == "a.png" and args.city_name == "pisa"
+    # Extension flags (reference README Steps 6-7, implemented here).
+    args = p.parse_args([
+        "--post-process", "--post-process-kernel", "5",
+        "--ensemble", "m1.msgpack", "m2.msgpack",
+    ])
+    assert args.post_process and args.post_process_kernel == 5
+    assert args.ensemble == ["m1.msgpack", "m2.msgpack"]
 
 
 def test_gan_cli_defaults_match_reference_constants():

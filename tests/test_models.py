@@ -28,7 +28,7 @@ def test_siamese_unet_param_count_and_shape(rng):
     v = m.init(rng, x, x, train=False)
     assert n_params(v) == 41_160_525
     out = m.apply(v, x, x, train=False)
-    assert out.shape == (2, 16, 16, 1)
+    assert out.shape == (2, 32, 32, 1)
     assert out.dtype == jnp.float32
 
 

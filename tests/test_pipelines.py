@@ -194,6 +194,28 @@ def test_single_pair_evaluation(siamese_run):
     }
 
 
+def test_evaluation_ensemble_and_postprocess(siamese_run):
+    """Ensembling + morphological post-processing: the reference README's
+    Steps 6-7 (README.md:145-153), which its code never implements."""
+    workdir, _ = siamese_run
+    ck = os.path.join(workdir, "siamese_checkpoints")
+    result = pipelines.run_evaluation(
+        _data_cfg(workdir),
+        EvalConfig(
+            target_size=SIA_SIZE, num_visualizations=0,
+            post_process=True, post_process_kernel=3,
+            ensemble_paths=(
+                os.path.join(ck, "best_model.msgpack"),
+                os.path.join(ck, "model_epoch_2.msgpack"),
+            ),
+        ),
+        verbose=False,
+    )
+    assert result is not None
+    for k in ("accuracy", "precision", "recall", "f1", "iou"):
+        assert 0.0 <= result["overall"][k] <= 1.0
+
+
 def test_evaluation_missing_checkpoint_graceful(workdir, tmp_path):
     """Mirrors the reference's graceful error path (evaluate.py:343-351)."""
     empty = tmp_path / "empty_root"

@@ -116,6 +116,9 @@ def bench_gan():
 
 
 def main() -> None:
+    from gan_aug_pfa_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     # Headline: the framework's fast path (batched 2B encoder pass; same
     # params and eval forward as the reference's two-pass form — see
     # models/siamese_unet.py).  The parity-exact two-pass number follows

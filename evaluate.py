@@ -50,11 +50,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Two or more checkpoints to ensemble by averaging "
                         "sigmoid probabilities (the reference README's "
                         "Step 7, implemented)")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="[extension] disable the persistent XLA compilation cache")
     return p
 
 
 def main() -> None:
     args = build_parser().parse_args()
+    if not args.no_compile_cache:
+        from gan_aug_pfa_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
     target_size = parse_target_size(args.target_size)
     data_cfg = DataConfig(
         root_dir=args.root_dir,

@@ -33,11 +33,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--target-size", type=str, default="256x256",
                    help="Must match GAN training size")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="[extension] disable the persistent XLA compilation cache")
     return p
 
 
 def main() -> None:
     args = build_parser().parse_args()
+    if not args.no_compile_cache:
+        from gan_aug_pfa_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
     target_size = parse_target_size(args.target_size)
     data_cfg = DataConfig(
         root_dir=args.root_dir,

@@ -1,0 +1,41 @@
+"""Persistent XLA compilation cache wiring (utils/compile_cache.py)."""
+
+import os
+
+import jax
+
+from gan_aug_pfa_tpu.utils.compile_cache import enable_compile_cache
+
+
+def test_enable_sets_config_and_creates_dir(tmp_path):
+    d = str(tmp_path / "xla_cache")
+    assert enable_compile_cache(d) == d
+    assert os.path.isdir(d)
+    assert jax.config.jax_compilation_cache_dir == d
+    assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.0
+
+
+def test_env_var_wins_over_default(tmp_path, monkeypatch):
+    d = str(tmp_path / "env_cache")
+    monkeypatch.setenv("GAN_AUG_PFA_TPU_CACHE_DIR", d)
+    assert enable_compile_cache() == d
+    assert os.path.isdir(d)
+
+
+def test_unwritable_dir_disables_quietly(tmp_path):
+    blocker = tmp_path / "file"
+    blocker.write_text("x")
+    # a path under a regular file cannot be created
+    assert enable_compile_cache(str(blocker / "sub")) is None
+
+
+def test_cache_round_trip_writes_entries(tmp_path):
+    d = str(tmp_path / "rt")
+    enable_compile_cache(d)
+    try:
+        import jax.numpy as jnp
+
+        jax.jit(lambda x: x * 2 + 1)(jnp.ones((4,)))
+        assert len(os.listdir(d)) >= 1
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)

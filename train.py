@@ -85,11 +85,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "timing stats")
     p.add_argument("--debug-nans", action="store_true",
                    help="[extension] enable the jax_debug_nans sanitizer")
+    p.add_argument("--concat-free", action="store_true",
+                   help="[extension] decoder fast path: skip-concats stay "
+                        "as slice tuples consumed by kernel-sliced convs "
+                        "(no HBM concatenates; numerically equivalent)")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="[extension] disable the persistent XLA compilation "
+                        "cache (utils/compile_cache.py)")
     return p
 
 
 def main() -> None:
     args = build_parser().parse_args()
+    if not args.no_compile_cache:
+        from gan_aug_pfa_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
     try:
         target_size = parse_target_size(args.target_size)
     except ValueError:
@@ -122,6 +133,7 @@ def main() -> None:
         fused_loss=args.fused_loss,
         pallas_augment=args.pallas_augment,
         batched_encoder=args.batched_encoder,
+        concat_free=args.concat_free,
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,
     )

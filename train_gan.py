@@ -47,11 +47,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace + per-step timing stats")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable the jax_debug_nans numeric sanitizer")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="[extension] disable the persistent XLA compilation cache")
     return p
 
 
 def main() -> None:
     args = build_parser().parse_args()
+    if not args.no_compile_cache:
+        from gan_aug_pfa_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
     target_size = parse_target_size(args.target_size)
     data_cfg = DataConfig(
         root_dir=args.root_dir,

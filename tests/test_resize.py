@@ -49,6 +49,26 @@ def test_upsample2x_align_corners_matches_torch():
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+def test_upsample2x_matmul_equals_gather_form():
+    from gan_aug_pfa_tpu.ops.resize import _upsample2x_gather
+
+    x = RNG.rand(3, 8, 11, 7).astype(np.float32)
+    a = np.asarray(upsample2x_align_corners(jnp.asarray(x)))
+    b = np.asarray(_upsample2x_gather(jnp.asarray(x)))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_upsample2x_matmul_gradient_equals_gather_gradient():
+    import jax
+
+    from gan_aug_pfa_tpu.ops.resize import _upsample2x_gather
+
+    x = jnp.asarray(RNG.rand(2, 6, 6, 4).astype(np.float32))
+    g_mm = jax.grad(lambda v: jnp.sum(upsample2x_align_corners(v) ** 2))(x)
+    g_ga = jax.grad(lambda v: jnp.sum(_upsample2x_gather(v) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_ga), atol=1e-5)
+
+
 def test_nearest_matches_torch_legacy():
     x = (RNG.rand(29, 31) > 0.5).astype(np.float32)
     t = torch.from_numpy(x)[None, None]

@@ -80,6 +80,10 @@ class SiameseTrainConfig:
     # train-mode BN uses joint batch stats over both images — eval forward
     # and the param tree are identical to the reference's two-pass form).
     batched_encoder: bool = False
+    # Keep decoder skip-concats as slice tuples consumed by kernel-sliced
+    # convs (models/blocks.SlicedConv) — no HBM concatenates; numerically
+    # equal to the default path up to fp reassociation.
+    concat_free: bool = False
     # Observability (SURVEY.md §5.1-5.2 — absent in the reference):
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
     debug_nans: bool = False  # jax_debug_nans numeric sanitizer

@@ -51,6 +51,7 @@ class SiameseUNet(nn.Module):
     n_classes: int = 1
     dtype: Dtype = jnp.float32
     batched_encoder: bool = False
+    concat_free: bool = False
 
     def setup(self):
         dt = self.dtype
@@ -103,6 +104,30 @@ class SiameseUNet(nn.Module):
         else:
             c1a, c2a, c3a, c4a, ba = self.encode(x1, train)
             c1b, c2b, c3b, c4b, bb = self.encode(x2, train)
+
+        if self.concat_free:
+            # Same math with channel concats kept as slice tuples: the
+            # attention gates and each decoder conv0 consume the slices
+            # directly (SlicedConv — identical params, conv(concat(xs), W)
+            # == sum of per-slice convs), so no concatenate is ever
+            # materialized in HBM.  Slice order == the concat channel
+            # order of the default path.
+            up = (upsample2x_align_corners(ba), upsample2x_align_corners(bb))
+            x = self.dconv_up3(up + self.att3(up, (c4a, c4b), train), train)
+
+            up = (upsample2x_align_corners(x),)
+            x = self.dconv_up2(up + self.att2(up, (c3a, c3b), train), train)
+
+            up = (upsample2x_align_corners(x),)
+            x = self.dconv_up1(up + self.att1(up, (c2a, c2b), train), train)
+
+            up = (upsample2x_align_corners(x),)
+            x = self.dconv_last(
+                up + self.att_last(up, (c1a, c1b), train), train
+            )
+
+            out = self.conv_last(x)
+            return out.astype(jnp.float32)
 
         bott = jnp.concatenate([ba, bb], axis=-1)
         up = upsample2x_align_corners(bott)

@@ -61,6 +61,7 @@ class SiameseTrainer:
         self.model = SiameseUNet(
             n_channels=config.n_channels, n_classes=config.n_classes,
             dtype=dtype, batched_encoder=config.batched_encoder,
+            concat_free=config.concat_free,
         )
         self.tx = make_optimizer(
             config.optimizer, config.learning_rate, config.weight_decay

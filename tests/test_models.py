@@ -120,3 +120,69 @@ def test_batched_encoder_eval_equivalence(rng):
     assert any(
         not np.allclose(x, y) for x, y in zip(leaves_before, leaves_after)
     )
+
+
+def test_concat_free_forward_and_grad_equivalence(rng):
+    """concat_free=True: identical param tree; forward (train and eval
+    modes) and parameter gradients match the concat path to fp
+    reassociation noise (SlicedConv: conv(concat(xs), W) == summed
+    per-slice convs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gan_aug_pfa_tpu.models import SiameseUNet
+
+    base = SiameseUNet(n_channels=3, n_classes=1)
+    # batched_encoder deliberately OFF: its train-mode BN is joint over
+    # both images (different grads by design); concat_free alone must be
+    # gradient-equivalent.
+    fast = SiameseUNet(n_channels=3, n_classes=1, concat_free=True)
+    r = np.random.RandomState(1)
+    x1 = jnp.asarray(r.rand(2, 16, 16, 3).astype(np.float32))
+    x2 = jnp.asarray(r.rand(2, 16, 16, 3).astype(np.float32))
+    v = base.init(rng, x1, x2, train=False)
+    v_fast = fast.init(rng, x1, x2, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        v_fast
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(v),
+                    jax.tree_util.tree_leaves(v_fast)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    a = base.apply(v, x1, x2, train=False)
+    b = fast.apply(v, x1, x2, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    at, _ = base.apply(v, x1, x2, train=True, mutable=["batch_stats"])
+    bt, _ = fast.apply(v, x1, x2, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(at), np.asarray(bt), atol=2e-4)
+
+    # Gradient equivalence is asserted in f64, where fp reassociation
+    # cannot flip knife-edge ReLU/pool masks: the two paths are then
+    # identical to ~1e-12 relative (in f32 isolated mask flips produce
+    # sparse discrete grad diffs — a compilation-level artifact, the same
+    # kind XLA fusion changes cause).
+    base64 = SiameseUNet(n_channels=3, n_classes=1, dtype=jnp.float64)
+    fast64 = SiameseUNet(n_channels=3, n_classes=1, dtype=jnp.float64,
+                         concat_free=True)
+    with jax.enable_x64(True):
+        x1d, x2d = x1.astype(jnp.float64), x2.astype(jnp.float64)
+        vd = jax.tree_util.tree_map(
+            lambda t: jnp.asarray(np.asarray(t), jnp.float64), v
+        )
+
+        def loss(params, model):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": vd["batch_stats"]},
+                x1d, x2d, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out ** 2)
+
+        g_base = jax.grad(loss)(vd["params"], base64)
+        g_fast = jax.grad(loss)(vd["params"], fast64)
+        d2 = n2 = 0.0
+        for ga, gb in zip(jax.tree_util.tree_leaves(g_base),
+                          jax.tree_util.tree_leaves(g_fast)):
+            d2 += float(jnp.sum((ga - gb) ** 2))
+            n2 += float(jnp.sum(gb ** 2))
+        assert (d2 / n2) ** 0.5 < 1e-9

@@ -74,3 +74,16 @@ def test_generate_cli_defaults():
     assert d.batch_size == 4
     assert d.target_size == "256x256"
     assert "generator_epoch_200" in d.generator_checkpoint_name
+
+
+def test_extension_flags_parse():
+    """New [extension] flags: --concat-free, --no-compile-cache on every
+    JAX CLI."""
+    p = _load("train").build_parser()
+    a = p.parse_args(["--concat-free", "--no-compile-cache"])
+    assert a.concat_free and a.no_compile_cache
+    assert not p.parse_args([]).concat_free
+    for cli in ("train_gan", "generate_synthetic_data", "evaluate"):
+        pp = _load(cli).build_parser()
+        assert pp.parse_args(["--no-compile-cache"]).no_compile_cache
+        assert not pp.parse_args([]).no_compile_cache

@@ -252,3 +252,24 @@ def test_model_only_checkpoint_roundtrip(tmp_path):
     a = jax.tree_util.tree_leaves(state.params)[0]
     b = jax.tree_util.tree_leaves(restored.params)[0]
     assert jnp.allclose(a, b)
+
+
+def test_siamese_training_fast_path_flags(synthetic_corpus):
+    """The perf opt-ins (batched_encoder + concat_free) run the full
+    training pipeline end to end and produce finite losses and the same
+    checkpoint contract."""
+    workdir, _ = synthetic_corpus
+    cfg = SiameseTrainConfig(
+        batch_size=2, num_epochs=1, compute_dtype="float32",
+        save_every=5, data_parallel=False, seed=0,
+        batched_encoder=True, concat_free=True,
+        checkpoint_dir="siamese_fast_ckpt",
+    )
+    hist = pipelines.run_siamese_training(
+        _data_cfg(workdir, use_synthetic=False), cfg, verbose=False
+    )
+    assert hist is not None
+    assert all(np.isfinite(v) for v in hist["train_loss"])
+    assert os.path.exists(
+        os.path.join(workdir, "siamese_fast_ckpt", "best_model.msgpack")
+    )

@@ -63,9 +63,18 @@ def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None,
     data = serialization.to_bytes(payload)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)
+    try:
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    finally:
+        # A crash/kill between write and rename leaves a stale .tmp; never
+        # let it accumulate (the rename above makes success remove it too).
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def restore_checkpoint(path: str, state, with_extra: bool = False):

@@ -61,3 +61,60 @@ def test_sharded_computation_psum_equivalence():
     got = float(jax.jit(jnp.mean)(xs))
     # Cross-device reduction order differs from the flat numpy mean.
     np.testing.assert_allclose(got, x.mean(), rtol=1e-6)
+
+
+def test_spatial_sharded_conv_matches_unsharded():
+    """A 3x3 'SAME' conv with input H sharded over the 'spatial' axis must
+    equal the unsharded conv — XLA's SPMD partitioner inserts the halo
+    exchanges (SURVEY.md §5.7's spatial-partitioning capability)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(8, axis_names=("data", "spatial"), shape=(2, 4))
+    r = np.random.RandomState(0)
+    x = r.rand(2, 16, 16, 8).astype(np.float32)
+    k = r.rand(3, 3, 8, 8).astype(np.float32)
+
+    def conv(v):
+        return jax.lax.conv_general_dilated(
+            v, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    ref = np.asarray(conv(jnp.asarray(x)))
+    s = NamedSharding(mesh, P("data", "spatial", None, None))
+    xs = jax.device_put(jnp.asarray(x), s)
+
+    @jax.jit
+    def sharded(v):
+        v = jax.lax.with_sharding_constraint(v, s)
+        return conv(v)
+
+    np.testing.assert_allclose(np.asarray(sharded(xs)), ref, atol=1e-5)
+
+
+def test_siamese_eval_loss_spatial_mesh_equivalence():
+    """The trainer's eval loss under a ('data','spatial') mesh (batch AND
+    feature-map-H sharded) matches the single-device value."""
+    from gan_aug_pfa_tpu.config import SiameseTrainConfig
+    from gan_aug_pfa_tpu.train import SiameseTrainer
+
+    r = np.random.RandomState(0)
+    n = 4
+    ds = (
+        r.rand(n, 16, 16, 3).astype(np.float32),
+        r.rand(n, 16, 16, 3).astype(np.float32),
+        (r.rand(n, 16, 16) > 0.8).astype(np.int32),
+    )
+    cfg = SiameseTrainConfig(batch_size=2, compute_dtype="float32")
+
+    tr_plain = SiameseTrainer(cfg, augment=False)
+    state = tr_plain.init_state(jax.random.PRNGKey(0), (16, 16))
+    dev_plain = tuple(jax.device_put(a) for a in ds)
+    ref = tr_plain.validate(state, dev_plain, n)
+
+    mesh = make_mesh(8, axis_names=("data", "spatial"), shape=(2, 4))
+    tr_mesh = SiameseTrainer(cfg, mesh=mesh, augment=False)
+    state_m = jax.device_put(state, replicate_sharding(mesh))
+    dev_mesh = put_dataset_global(mesh, *ds)
+    got = tr_mesh.validate(state_m, dev_mesh, n)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)

@@ -27,13 +27,24 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
 
     Safe to call multiple times; returns the cache dir in use, or None if
     the directory could not be created (cache disabled, never fatal).
+
+    On the plain-CPU backend the cache is skipped unless a dir is passed
+    explicitly or $GAN_AUG_PFA_TPU_CACHE_CPU=1: XLA:CPU executables are
+    AOT-compiled for the build host's machine features, and loading them on
+    a different host can SIGILL — accelerator backends don't have this
+    hazard, and CPU compiles are not the workload that hurts.
     """
+    explicit = cache_dir is not None or _ENV_VAR in os.environ
     cache_dir = cache_dir or os.environ.get(_ENV_VAR) or _DEFAULT
+    import jax
+
+    if (not explicit and os.environ.get("GAN_AUG_PFA_TPU_CACHE_CPU") != "1"
+            and jax.default_backend() == "cpu"):
+        return None
     try:
         os.makedirs(cache_dir, exist_ok=True)
     except OSError:
         return None
-    import jax
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # The default thresholds skip "cheap" compiles (<1s / small binaries);

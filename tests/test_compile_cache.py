@@ -39,3 +39,13 @@ def test_cache_round_trip_writes_entries(tmp_path):
         assert len(os.listdir(d)) >= 1
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_cpu_backend_default_is_skipped(monkeypatch):
+    """Without an explicit dir/env var, the plain-CPU backend skips the
+    cache (XLA:CPU AOT results are machine-feature-specific; loading them
+    on another host can SIGILL)."""
+    monkeypatch.delenv("GAN_AUG_PFA_TPU_CACHE_DIR", raising=False)
+    monkeypatch.delenv("GAN_AUG_PFA_TPU_CACHE_CPU", raising=False)
+    assert jax.default_backend() == "cpu"
+    assert enable_compile_cache() is None

@@ -459,8 +459,11 @@ def run_evaluation(
         return None
     ds = build_cached_dataset(samples, eval_cfg.target_size, verbose=verbose)
 
+    # batched_encoder is exactly equivalent in eval mode (running-stat BN;
+    # tests/test_models.py) and ~25% faster — safe default for inference.
     train_cfg = SiameseTrainConfig(
-        n_channels=eval_cfg.n_channels, n_classes=eval_cfg.n_classes
+        n_channels=eval_cfg.n_channels, n_classes=eval_cfg.n_classes,
+        batched_encoder=True,
     )
     trainer = SiameseTrainer(train_cfg)
     # Ensembling (reference README.md:150-153 Step 7, claimed there but
@@ -601,7 +604,8 @@ def evaluate_single_pair(
             label_path = None
 
     train_cfg = SiameseTrainConfig(
-        n_channels=eval_cfg.n_channels, n_classes=eval_cfg.n_classes
+        n_channels=eval_cfg.n_channels, n_classes=eval_cfg.n_classes,
+        batched_encoder=True,
     )
     trainer = SiameseTrainer(train_cfg)
     if eval_cfg.ensemble_paths:

@@ -92,3 +92,49 @@ def test_mode_test_no_labels(oscd_tree):
     )
     assert len(test) == 5
     assert all(s.label is None for s in test)
+
+
+def test_arrange_sample_corpus_roundtrip(tmp_path):
+    """scripts/arrange_sample_corpus.py lays a synthetic-corpus sample out
+    in the OSCD directory contract, and the scanner finds it."""
+    import importlib.util
+    import os
+    import sys
+
+    import numpy as np
+    from PIL import Image
+
+    spec = importlib.util.spec_from_file_location(
+        "arrange", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "arrange_sample_corpus.py",
+        )
+    )
+    arrange = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(arrange)
+
+    src = tmp_path / "synth"
+    rng = np.random.RandomState(0)
+    for city, n in (("aguasclaras", 3), ("bercy", 7)):
+        d = src / "images" / city
+        d.mkdir(parents=True)
+        for stem in ("img1", "img2"):
+            Image.fromarray(
+                rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+            ).save(d / f"{stem}_synth_{n}.png")
+        (src / "labels" / city).mkdir(parents=True)
+        Image.fromarray(
+            (rng.rand(32, 32) > 0.5).astype(np.uint8) * 255, mode="L"
+        ).save(src / "labels" / city / f"cm_synth_{n}.png")
+
+    dest = tmp_path / "oscd"
+    assert arrange.arrange(str(src), str(dest)) == 2
+
+    from gan_aug_pfa_tpu.data.scanner import create_sample_lists
+
+    samples = create_sample_lists(
+        str(dest), arrange.SUBDIR, "synthetic_data", mode="all",
+        verbose=False,
+    )
+    assert sorted(s.city for s in samples) == ["aguasclaras", "bercy"]
+    assert all(s.label is not None for s in samples)

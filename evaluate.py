@@ -56,7 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main() -> None:
-    args = build_parser().parse_args()
+    parser = build_parser()
+    args = parser.parse_args()
+    if args.ensemble is not None and len(args.ensemble) < 2:
+        parser.error(
+            "--ensemble needs two or more checkpoints; for a single "
+            "checkpoint use --checkpoint-path"
+        )
     if not args.no_compile_cache:
         from gan_aug_pfa_tpu.utils.compile_cache import enable_compile_cache
 

@@ -83,10 +83,19 @@ def restore_checkpoint(path: str, state, with_extra: bool = False):
 
     The state fields are restored via from_state_dict against the template
     (shape/structure-checked); ``extra`` is free-form and taken raw from the
-    msgpack payload (an empty-dict template would silently DROP it)."""
-    with open(path, "rb") as f:
-        data = f.read()
-    payload = serialization.msgpack_restore(data)
+    msgpack payload (an empty-dict template would silently DROP it).
+
+    A ``.pth`` path loads a reference torch state_dict via the interop
+    converter (model weights only — torch checkpoints never carry
+    optimizer state; SURVEY.md §5.4)."""
+    if path.endswith(".pth"):
+        from gan_aug_pfa_tpu import interop
+
+        payload = interop.variables_from_torch_file(path)
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
+        payload = serialization.msgpack_restore(data)
     template = _to_state_dict(state)
     restored = {
         k: (serialization.from_state_dict(template[k], payload[k], name=k)
@@ -108,16 +117,22 @@ def restore_model_only(path: str, variables: Dict[str, Any]
                        ) -> Dict[str, Any]:
     """Restore just {params, batch_stats} into a model-variables template —
     the inference-load path (reference evaluate.py:345,
-    generate_synthetic_data.py:48)."""
-    with open(path, "rb") as f:
-        data = f.read()
+    generate_synthetic_data.py:48).  ``.pth`` paths go through the torch
+    interop converter."""
     template = {
         "params": variables["params"],
         "batch_stats": variables["batch_stats"],
     }
-    # Tolerate full train-state checkpoints: deserialize leniently by
-    # matching only the keys we need.
-    payload = serialization.msgpack_restore(data)
+    if path.endswith(".pth"):
+        from gan_aug_pfa_tpu import interop
+
+        payload = interop.variables_from_torch_file(path)
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
+        # Tolerate full train-state checkpoints: deserialize leniently by
+        # matching only the keys we need.
+        payload = serialization.msgpack_restore(data)
     out = {}
     for key in ("params", "batch_stats"):
         out[key] = serialization.from_state_dict(template[key], payload[key])
@@ -130,6 +145,10 @@ def checkpoint_name(base: str) -> str:
 
 
 def find_checkpoint(directory: str, stem: str) -> Optional[str]:
-    """Locate ``<stem>.msgpack`` in a directory, None if absent."""
-    p = os.path.join(directory, checkpoint_name(stem))
-    return p if os.path.exists(p) else None
+    """Locate ``<stem>.msgpack`` (or a reference-trained ``<stem>.pth``,
+    loadable via the interop converter) in a directory, None if absent."""
+    for ext in (".msgpack", ".pth"):
+        p = os.path.join(directory, stem + ext)
+        if os.path.exists(p):
+            return p
+    return None

@@ -39,6 +39,11 @@ class DataConfig:
     target_size: Tuple[int, int] = (128, 128)
     use_synthetic: bool = False
     augment: bool = False
+    # Augment at each sample's NATIVE resolution and resize to target as
+    # chain step 5 (the reference's order, dataset.py:172-193) instead of
+    # augmenting the pre-resized cache.  Applies to --tune trials and
+    # --augment training.
+    native_aug: bool = False
 
 
 @dataclasses.dataclass

@@ -161,6 +161,92 @@ def build_cached_dataset(
     return ds
 
 
+@dataclasses.dataclass
+class PaddedNativeDataset:
+    """A native-resolution dataset: each sample decoded at its ORIGINAL
+    size and placed in the top-left corner of a zero-padded (Hmax, Wmax)
+    buffer, with per-sample true sizes.  Feeds the native-resolution
+    augmentation path (data/transforms.augment_batch_native), which runs
+    the reference's augment-at-native-size-then-resize chain
+    (reference dataset.py:172-193) on device with dynamic extents."""
+
+    img1: np.ndarray  # (N, Hmax, Wmax, 3) float32 in [0, 1], zero-padded
+    img2: np.ndarray  # (N, Hmax, Wmax, 3)
+    labels: Optional[np.ndarray]  # (N, Hmax, Wmax) int32 in {0, 1}
+    sizes: np.ndarray  # (N, 2) int32 native (h, w)
+    cities: List[str]
+
+    def __len__(self) -> int:
+        return self.img1.shape[0]
+
+
+def build_padded_native_dataset(
+    samples: List[Sample], pad_multiple: int = 8, verbose: bool = True
+) -> PaddedNativeDataset:
+    """Decode every sample ONCE at native size into a padded dense cache.
+
+    The pad target is the max native extent rounded up to pad_multiple
+    (keeps the trailing dims friendly to TPU tiling).  Unreadable samples
+    are skipped with a warning, like build_cached_dataset."""
+
+    def load_one(s):
+        try:
+            i1 = native_loader.decode_rgb(s.img1).astype(np.float32) / 255.0
+            i2 = native_loader.decode_rgb(s.img2).astype(np.float32) / 255.0
+            if i1.shape != i2.shape:
+                raise ValueError(
+                    f"img1/img2 native sizes differ: {i1.shape} vs "
+                    f"{i2.shape}"
+                )
+            lb = None
+            if s.label is not None:
+                lb = (native_loader.decode_gray(s.label) > 128).astype(
+                    np.int32
+                )
+            return i1, i2, lb
+        except Exception as e:  # noqa: BLE001 — parity with reference skip
+            print(f"Failed to load sample for city {s.city}: {e}. Skipping.")
+            return None
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(samples)))) as ex:
+        results = list(ex.map(load_one, samples))
+    loaded = [(s, r) for s, r in zip(samples, results) if r is not None]
+    has_labels = all(r[2] is not None for _, r in loaded) and bool(loaded)
+    if not loaded:
+        return PaddedNativeDataset(
+            np.zeros((0, 0, 0, 3), np.float32),
+            np.zeros((0, 0, 0, 3), np.float32),
+            None, np.zeros((0, 2), np.int32), [],
+        )
+
+    def up(n):
+        return ((n + pad_multiple - 1) // pad_multiple) * pad_multiple
+
+    hmax = up(max(r[0].shape[0] for _, r in loaded))
+    wmax = up(max(r[0].shape[1] for _, r in loaded))
+    n = len(loaded)
+    img1 = np.zeros((n, hmax, wmax, 3), np.float32)
+    img2 = np.zeros((n, hmax, wmax, 3), np.float32)
+    labels = np.zeros((n, hmax, wmax), np.int32) if has_labels else None
+    sizes = np.zeros((n, 2), np.int32)
+    cities = []
+    for i, (s, (i1, i2, lb)) in enumerate(loaded):
+        h, w = i1.shape[0], i1.shape[1]
+        img1[i, :h, :w] = i1
+        img2[i, :h, :w] = i2
+        if has_labels:
+            labels[i, :lb.shape[0], :lb.shape[1]] = lb
+        sizes[i] = (h, w)
+        cities.append(s.city)
+    ds = PaddedNativeDataset(img1, img2, labels, sizes, cities)
+    if verbose:
+        print(
+            f"Cached {n} samples at native size (padded to {hmax}x{wmax}, "
+            f"{img1.nbytes * 2 / 1e6:.1f} MB of image data)."
+        )
+    return ds
+
+
 def float_to_uint8(x: np.ndarray) -> np.ndarray:
     """float [0,1] -> uint8 with truncation, matching torchvision
     ``to_pil_image``'s ``mul(255).byte()`` (used for bit-comparable PNG

@@ -57,15 +57,19 @@ class AugmentConfig:
 
 
 def _inverse_affine_coords(
-    h: int, w: int, angle_deg, translate_xy, scale, shear_x_deg
+    h: int, w: int, angle_deg, translate_xy, scale, shear_x_deg, hw=None
 ):
     """Output-pixel -> input-pixel coordinates for the torchvision affine
     (rotation + x-shear + scale about the image center, then translation).
 
-    Returns (ys, xs) float32 grids of shape (h, w)."""
+    Returns (ys, xs) float32 grids of shape (h, w).  h/w are the STATIC
+    buffer dims; hw=(h_dyn, w_dyn) optionally gives the (traced) true image
+    extent for the rotation center — the native-resolution path, where the
+    image sits in the top-left corner of a padded buffer."""
     a = jnp.deg2rad(angle_deg)
     sx = jnp.deg2rad(shear_x_deg)
-    cx, cy = (w - 1) * 0.5, (h - 1) * 0.5
+    ch, cw = hw if hw is not None else (h, w)
+    cx, cy = (cw - 1) * 0.5, (ch - 1) * 0.5
     # Forward matrix F = T(c+t) @ R(a) @ Shear_x(sx) @ Scale(s) @ T(-c).
     cos_a, sin_a = jnp.cos(a), jnp.sin(a)
     # R @ Shear_x: shear_x maps (x, y) -> (x + tan(sx) * y, y)
@@ -93,9 +97,13 @@ def _inverse_affine_coords(
     return ys, xs
 
 
-def _sample_bilinear(img: jnp.ndarray, ys, xs) -> jnp.ndarray:
-    """Bilinear sample of an HWC image at float coords, 0 outside."""
-    h, w = img.shape[0], img.shape[1]
+def _sample_bilinear(img: jnp.ndarray, ys, xs, hw=None) -> jnp.ndarray:
+    """Bilinear sample of an HWC image at float coords, 0 outside.
+
+    hw=(h, w) overrides the valid extent with (possibly traced) dynamic
+    sizes — used by the native-resolution path where the image occupies the
+    top-left (h, w) corner of a larger padded buffer."""
+    h, w = hw if hw is not None else (img.shape[0], img.shape[1])
     valid = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
     ysc = jnp.clip(ys, 0.0, h - 1)
     xsc = jnp.clip(xs, 0.0, w - 1)
@@ -118,10 +126,10 @@ def _sample_bilinear(img: jnp.ndarray, ys, xs) -> jnp.ndarray:
     return jnp.where(valid[..., None], out, 0.0)
 
 
-def _sample_nearest(img: jnp.ndarray, ys, xs) -> jnp.ndarray:
+def _sample_nearest(img: jnp.ndarray, ys, xs, hw=None) -> jnp.ndarray:
     """Nearest sample (round-half-up like torchvision), 0 outside.
-    Works for HW (labels) and HWC arrays."""
-    h, w = img.shape[0], img.shape[1]
+    Works for HW (labels) and HWC arrays.  hw as in _sample_bilinear."""
+    h, w = hw if hw is not None else (img.shape[0], img.shape[1])
     valid = (ys >= -0.5) & (ys < h - 0.5) & (xs >= -0.5) & (xs < w - 0.5)
     yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, h - 1)
     xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w - 1)
@@ -444,3 +452,231 @@ def augment_batch(rng, img1, img2, labels, cfg=AugmentConfig(),
 def eval_batch(img1, img2):
     """augment=False path: just the [-1,1] normalize."""
     return normalize(img1), normalize(img2)
+
+
+# ---------------------------------------------------------------------------
+# Native-resolution augmentation (reference chain order, dataset.py:172-193:
+# augment at NATIVE size, resize to target as the second-to-last step).
+#
+# The round-1 build augmented the pre-resized target-size cache (deviation
+# documented above); this path closes that gap: samples are cached at native
+# size in a padded (Hmax, Wmax) buffer with per-sample (h, w), the whole
+# chain runs with dynamic extents on the padded buffer, and the
+# bilinear/nearest resize to target happens ON DEVICE as chain step 5.
+# When (h, w) == buffer size == target, every op below reduces to the exact
+# arithmetic of the fixed-size chain (tested in tests/test_transforms.py).
+# ---------------------------------------------------------------------------
+
+
+def _valid_mask(hp: int, wp: int, h, w):
+    """(hp, wp) float mask of the top-left (h, w) native region."""
+    yy, xx = jnp.meshgrid(
+        jnp.arange(hp, dtype=jnp.int32),
+        jnp.arange(wp, dtype=jnp.int32),
+        indexing="ij",
+    )
+    return ((yy < h) & (xx < w)).astype(jnp.float32)
+
+
+def adjust_contrast_masked(img, factor, mask, count):
+    """adjust_contrast with the grayscale mean taken over the native region
+    only (the padded tail must not shift the mean)."""
+    mean = jnp.sum(_grayscale(img) * mask) / count
+    return jnp.clip(mean * (1.0 - factor) + img * factor, 0.0, 1.0)
+
+
+def apply_color_jitter_masked(img, factors, order_idx, mask, count):
+    """apply_color_jitter with the masked contrast mean."""
+
+    def apply_op(i, img):
+        return jax.lax.switch(
+            i,
+            [
+                lambda x: adjust_brightness(x, factors[0]),
+                lambda x: adjust_contrast_masked(x, factors[1], mask, count),
+                lambda x: adjust_saturation(x, factors[2]),
+            ],
+            img,
+        )
+
+    def apply_order(perm):
+        def fn(x):
+            for i in perm:
+                x = apply_op(i, x)
+            return x
+        return fn
+
+    return jax.lax.switch(
+        order_idx, [apply_order(p) for p in _JITTER_ORDERS], img
+    )
+
+
+def _reflect_neighbors(n_buf: int, n):
+    """Index vectors (prev, next) over a length-n_buf axis implementing
+    3-tap reflect padding at the DYNAMIC extent n (reflect-101: -1 -> 1,
+    n -> n-2, like jnp.pad mode='reflect')."""
+    i = jnp.arange(n_buf, dtype=jnp.int32)
+    prev = jnp.abs(i - 1)
+    nxt = (n - 1) - jnp.abs(n - 2 - i)
+    return jnp.clip(prev, 0, n_buf - 1), jnp.clip(nxt, 0, n_buf - 1)
+
+
+def gaussian_blur3_dyn(img: jnp.ndarray, sigma, h, w) -> jnp.ndarray:
+    """gaussian_blur3 with reflect boundaries at the dynamic (h, w) extent
+    of a padded buffer (identical per-pixel arithmetic: prev*k0 + mid*k1 +
+    next*k2 along each axis)."""
+    x = jnp.array([-1.0, 0.0, 1.0])
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k = k / jnp.sum(k)
+    hp, wp = img.shape[0], img.shape[1]
+    up, dn = _reflect_neighbors(hp, h)
+    a = jnp.take(img, up, axis=0) * k[0] + img * k[1] + jnp.take(
+        img, dn, axis=0
+    ) * k[2]
+    lf, rt = _reflect_neighbors(wp, w)
+    return jnp.take(a, lf, axis=1) * k[0] + a * k[1] + jnp.take(
+        a, rt, axis=1
+    ) * k[2]
+
+
+def _flip_indices(n_buf: int, n, do_flip):
+    i = jnp.arange(n_buf, dtype=jnp.int32)
+    flipped = jnp.where(i < n, n - 1 - i, i)
+    return jnp.where(do_flip, jnp.clip(flipped, 0, n_buf - 1), i)
+
+
+def _apply_flips_dyn(arr, do_h, do_v, h, w):
+    """H/V flips within the dynamic (h, w) region of a padded buffer (HW or
+    HWC arrays)."""
+    xi = _flip_indices(arr.shape[1], w, do_h)
+    arr = jnp.take(arr, xi, axis=1)
+    yi = _flip_indices(arr.shape[0], h, do_v)
+    return jnp.take(arr, yi, axis=0)
+
+
+def resize_from_native_bilinear(img, h, w, out_size):
+    """Bilinear align_corners=False resize from the dynamic (h, w) corner
+    of a padded buffer to a static out_size — the device twin of the host
+    cache resize (loader._resize_bilinear_np, reference tensor-resize
+    numerics)."""
+
+    def axis_pass(x, n, out_n, axis):
+        n = jnp.asarray(n, jnp.int32)
+        src = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) * (
+            n / out_n
+        ) - 0.5
+        src = jnp.clip(src, 0.0, (n - 1).astype(jnp.float32))
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n - 1)
+        t = src - lo
+        shape = [1] * x.ndim
+        shape[axis] = out_n
+        t = t.reshape(shape)
+        return jnp.take(x, lo, axis=axis) * (1 - t) + jnp.take(
+            x, hi, axis=axis
+        ) * t
+
+    img = axis_pass(img, h, out_size[0], 0)
+    return axis_pass(img, w, out_size[1], 1)
+
+
+def resize_from_native_nearest(label, h, w, out_size):
+    """Legacy-nearest resize (loader._resize_nearest_np) with dynamic
+    source extent: src = floor(i * n / out_n)."""
+
+    def axis_pass(x, n, out_n, axis):
+        n = jnp.asarray(n, jnp.int32)
+        # (i * n) / out_n, multiply FIRST: exact in f32 below 2^24, so the
+        # floor lands like the host's float64 computation at integer
+        # crossings (loader._resize_nearest_np) — (i * (n/out_n)) would
+        # round the ratio and can floor one pixel low.
+        idx = jnp.floor(
+            (jnp.arange(out_n, dtype=jnp.float32) * n) / out_n
+        ).astype(jnp.int32)
+        return jnp.take(x, jnp.minimum(idx, n - 1), axis=axis)
+
+    label = axis_pass(label, h, out_size[0], 0)
+    return axis_pass(label, w, out_size[1], 1)
+
+
+def augment_sample_native(img1, img2, label, size_hw, out_size, p):
+    """The full augment=True chain for ONE padded native-size sample given
+    explicit params, producing target-size outputs.  Same stage order and
+    per-stage arithmetic as apply_augment_sample, plus the resize step the
+    reference runs at position 5 (dataset.py:186-192)."""
+    h, w = size_hw[0], size_hw[1]
+    hp, wp = img1.shape[0], img1.shape[1]
+    c = img1.shape[-1]
+
+    # 1. joint affine at native extent (bilinear imgs / nearest label).
+    ys, xs = _inverse_affine_coords(
+        hp, wp, p["angle"], (p["tx"], p["ty"]), p["scale"], p["shear"],
+        hw=(h, w),
+    )
+    pair = _sample_bilinear(
+        jnp.concatenate([img1, img2], axis=-1), ys, xs, hw=(h, w)
+    )
+    img1, img2 = pair[..., :c], pair[..., c:]
+    if label is not None:
+        label = _sample_nearest(label, ys, xs, hw=(h, w))
+
+    # 2-4. photometric (masked contrast mean) + blur + shared flips.
+    mask = _valid_mask(hp, wp, h, w)
+    count = (h * w).astype(jnp.float32)
+    img1 = apply_color_jitter_masked(
+        img1, p["factors1"], p["order1"], mask, count
+    )
+    img2 = apply_color_jitter_masked(
+        img2, p["factors2"], p["order2"], mask, count
+    )
+    img1 = gaussian_blur3_dyn(img1, p["sigma1"], h, w)
+    img2 = gaussian_blur3_dyn(img2, p["sigma2"], h, w)
+    img1 = _apply_flips_dyn(img1, p["do_h"], p["do_v"], h, w)
+    img2 = _apply_flips_dyn(img2, p["do_h"], p["do_v"], h, w)
+    if label is not None:
+        label = _apply_flips_dyn(label, p["do_h"], p["do_v"], h, w)
+
+    # 5a. shared rotation at native extent (NEAREST for all three).
+    zero = jnp.zeros(())
+    ys, xs = _inverse_affine_coords(
+        hp, wp, p["rot"], (zero, zero), 1.0, 0.0, hw=(h, w)
+    )
+    stack = [img1, img2]
+    if label is not None:
+        stack.append(label.astype(img1.dtype)[..., None])
+    warped = _sample_nearest(
+        jnp.concatenate(stack, axis=-1), ys, xs, hw=(h, w)
+    )
+    img1, img2 = warped[..., :c], warped[..., c:2 * c]
+
+    # 5b. resize native -> target (bilinear imgs / legacy-nearest label).
+    img1 = resize_from_native_bilinear(img1, h, w, out_size)
+    img2 = resize_from_native_bilinear(img2, h, w, out_size)
+    if label is not None:
+        lab_f = resize_from_native_nearest(
+            warped[..., 2 * c], h, w, out_size
+        )
+        label = lab_f.astype(label.dtype)
+
+    # 6. normalize.
+    return normalize(img1), normalize(img2), label
+
+
+def augment_batch_native(rng, img1, img2, labels, sizes, out_size,
+                         cfg=AugmentConfig()):
+    """Batched native-resolution augment: (B, Hp, Wp, C) padded imgs,
+    (B, Hp, Wp) padded labels (or None), (B, 2) int32 native sizes ->
+    target-size augmented batch.  Per-sample params are drawn from the same
+    sampler as the fixed-size path (max translation scales with the
+    NATIVE size, like the reference's degrees-of-the-native-image
+    semantics)."""
+    b = img1.shape[0]
+    keys = jax.random.split(rng, b)
+    p = jax.vmap(
+        lambda k, s: sample_augment_params(k, s[0], s[1], cfg)
+    )(keys, sizes)
+    has_labels = labels is not None
+    return jax.vmap(
+        augment_sample_native,
+        in_axes=(0, 0, 0 if has_labels else None, 0, None, 0),
+    )(img1, img2, labels, sizes, out_size, p)

@@ -10,10 +10,11 @@ compositions used to denoise change maps.
 
 All functions are jittable, operate on (..., H, W) float arrays in {0,1},
 and use a square structuring element of side `kernel_size` with SAME
-padding (edge behavior: pads with the identity element, so erosion treats
-out-of-bounds as background and dilation as background too — matching
-scipy.ndimage.binary_erosion/dilation with border_value=0 for dilation and
-border_value=1 for erosion).
+padding.  Edge behavior: each op pads with its reduction identity, so
+dilation (max, pad -inf) treats out-of-bounds as background while erosion
+(min, pad +inf) treats it as foreground — matching
+scipy.ndimage.binary_dilation with border_value=0 and binary_erosion with
+border_value=1 (and cv2's default morphology border).
 """
 
 from __future__ import annotations

@@ -122,9 +122,14 @@ def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
     Expressed as two tiny dense matmuls (one per spatial axis) instead of
     gather+lerp: the backward pass is then just the transposed matmuls on
     the MXU rather than a scatter-add — measured ~0.4 ms/train-step cheaper
-    on v5e at the reference workload (scripts/profile_device_trace.py).
-    Numerically identical to the gather form (rows have exactly the two
-    lerp weights; zero terms are exact in fp arithmetic).
+    on v5e at the reference 128px workload (scripts/profile_device_trace.py).
+    In fp32 this is bitwise identical to the gather form (rows have exactly
+    the two lerp weights; zero terms are exact — tested in
+    tests/test_resize.py).  In bf16 the MXU einsum accumulates in fp32
+    while the gather-lerp path computes in bf16, so results can differ by
+    that accumulation.  Per-output cost is O(h) vs the gather form's O(1);
+    the measured win holds at the profiled sizes (<=256px) and could invert
+    at resolutions far beyond them.
     """
     h, w = x.shape[-3], x.shape[-2]
     mh = jnp.asarray(_upsample_matrix(h, 2 * h)).astype(x.dtype)

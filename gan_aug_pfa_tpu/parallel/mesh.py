@@ -30,12 +30,38 @@ def make_mesh(
     axis_names: Sequence[str] = ("data",),
     shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """Build a mesh over the first n_devices devices (default: all)."""
+    """Build a mesh over the first n_devices devices (default: all).
+
+    Raises ValueError with an actionable hint when the process has fewer
+    devices than requested or the shape doesn't factor the device count —
+    never a bare numpy reshape error."""
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"make_mesh wanted {n_devices} devices but this process "
+                f"has {len(devs)} ({devs[0].platform} platform). Hint: to "
+                "simulate a multi-chip mesh on CPU, set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_devices} and "
+                "JAX_PLATFORMS=cpu before JAX initializes."
+            )
         devs = devs[:n_devices]
     if shape is None:
-        shape = (len(devs),) if len(axis_names) == 1 else None
+        # Default: all devices on the first axis, trailing axes size 1.
+        shape = (len(devs),) + (1,) * (len(axis_names) - 1)
+    shape = tuple(shape)
+    if len(shape) != len(axis_names):
+        raise ValueError(
+            f"make_mesh shape {shape} has {len(shape)} dims but "
+            f"axis_names {tuple(axis_names)} has {len(axis_names)}."
+        )
+    if int(np.prod(shape)) != len(devs):
+        raise ValueError(
+            f"make_mesh shape {shape} needs {int(np.prod(shape))} devices "
+            f"but {len(devs)} are selected (of {len(jax.devices())} "
+            "visible). Pass a shape whose product matches, or adjust "
+            "n_devices."
+        )
     arr = np.asarray(devs).reshape(shape)
     return Mesh(arr, axis_names=tuple(axis_names))
 

@@ -100,9 +100,15 @@ def run_siamese_training(
     if not val_samples:
         print("Warning: Validation dataset is empty. Check paths and data.")
 
-    train_ds = build_cached_dataset(
-        train_samples, data_cfg.target_size, verbose=verbose
-    )
+    native = data_cfg.native_aug and data_cfg.augment
+    if native:
+        from .data.loader import build_padded_native_dataset
+
+        train_ds = build_padded_native_dataset(train_samples, verbose=verbose)
+    else:
+        train_ds = build_cached_dataset(
+            train_samples, data_cfg.target_size, verbose=verbose
+        )
     val_ds = build_cached_dataset(
         val_samples, data_cfg.target_size, verbose=verbose
     )
@@ -113,7 +119,10 @@ def run_siamese_training(
         )
 
     mesh = _default_mesh(train_cfg.data_parallel)
-    trainer = SiameseTrainer(train_cfg, mesh=mesh, augment=data_cfg.augment)
+    trainer = SiameseTrainer(
+        train_cfg, mesh=mesh, augment=data_cfg.augment,
+        native_out_size=data_cfg.target_size if native else None,
+    )
     rng = jax.random.PRNGKey(train_cfg.seed)
     state = trainer.init_state(rng, data_cfg.target_size)
     scheduler = ReduceLROnPlateau(
@@ -283,7 +292,12 @@ def run_gan_training(
     else:
         dev = (jax.device_put(ds.img1), jax.device_put(ds.img2))
     epoch_rng = np.random.RandomState(gan_cfg.seed)
-    sample_rng = np.random.RandomState(gan_cfg.seed + 1)
+    # Fixed preview sample, chosen once: every strip shows the SAME pair so
+    # generator progress is comparable across epochs.  (The reference's
+    # sample_loader is shuffle=True — train_gan.py:132-134 — so its strips
+    # are a different random pair each save; determinism here is a
+    # deliberate improvement, seed-derived for reproducibility.)
+    preview_i = int(np.random.RandomState(gan_cfg.seed + 1).randint(len(ds)))
     history = {"loss_d": [], "loss_g": []}
     profiler = contextlib.ExitStack()
     profiler.enter_context(
@@ -304,10 +318,11 @@ def run_gan_training(
                 f"{loss_g:.4f} ({dt:.2f}s)"
             )
         if epoch % gan_cfg.sample_every == 0 or epoch == gan_cfg.num_epochs:
-            # Random sample strip (reference save_samples, train_gan.py:78-92).
+            # Sample strip (reference save_samples, train_gan.py:78-92) on
+            # the fixed preview pair.
             from .utils.viz import save_gan_sample_strip
 
-            i = int(sample_rng.randint(len(ds)))
+            i = preview_i
             fake = trainer.generate(sg, dev[0][i:i + 1])
             path = save_gan_sample_strip(
                 ds.img1[i], np.asarray(fake[0]), ds.img2[i],

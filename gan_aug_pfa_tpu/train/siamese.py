@@ -28,8 +28,13 @@ import numpy as np
 from flax.training import train_state
 
 from ..config import SiameseTrainConfig
-from ..data.loader import CachedDataset
-from ..data.transforms import AugmentConfig, augment_batch, normalize
+from ..data.loader import CachedDataset, PaddedNativeDataset
+from ..data.transforms import (
+    AugmentConfig,
+    augment_batch,
+    augment_batch_native,
+    normalize,
+)
 from ..losses import focal_dice_loss
 from ..models import SiameseUNet
 from ..parallel.mesh import batch_sharding, replicate_sharding
@@ -47,11 +52,21 @@ class SiameseTrainer:
         mesh=None,
         augment: bool = False,
         aug_config: AugmentConfig = AugmentConfig(),
+        native_out_size=None,
     ):
+        """native_out_size=(H, W) switches the TRAIN path to
+        native-resolution augmentation: the train dataset must then be a
+        PaddedNativeDataset, and the step augments each sample at its
+        native size and resizes to (H, W) on device as chain step 5 (the
+        reference's augment-then-resize order, dataset.py:172-193).
+        Validation/eval always use the target-size cache."""
         self.config = config
         self.mesh = mesh
         self.augment = augment
         self.aug_config = aug_config
+        self.native_out_size = (
+            tuple(native_out_size) if native_out_size and augment else None
+        )
         # Optional per-step profiler (utils/profiling.StepTimer), attached
         # by the pipeline when config.profile_dir is set.
         self.step_timer = None
@@ -112,15 +127,27 @@ class SiameseTrainer:
         optimizer update."""
         img1 = jnp.take(ds1, idx, axis=0)
         img2 = jnp.take(ds2, idx, axis=0)
-        labels = jnp.take(dsl, idx, axis=0)
-        img1, img2, labels = self._constrain_spatial(img1, img2, labels)
-        if self.augment:
-            img1, img2, labels = augment_batch(
-                rng, img1, img2, labels, self.aug_config,
-                use_pallas=self.config.pallas_augment,
+        if self.native_out_size is not None:
+            # dsl is (labels, sizes) from a PaddedNativeDataset: augment at
+            # native extent, resize to target on device.
+            dsl, dsz = dsl
+            labels = jnp.take(dsl, idx, axis=0)
+            sizes = jnp.take(dsz, idx, axis=0)
+            img1, img2, labels = augment_batch_native(
+                rng, img1, img2, labels, sizes, self.native_out_size,
+                self.aug_config,
             )
+            img1, img2, labels = self._constrain_spatial(img1, img2, labels)
         else:
-            img1, img2 = normalize(img1), normalize(img2)
+            labels = jnp.take(dsl, idx, axis=0)
+            img1, img2, labels = self._constrain_spatial(img1, img2, labels)
+            if self.augment:
+                img1, img2, labels = augment_batch(
+                    rng, img1, img2, labels, self.aug_config,
+                    use_pallas=self.config.pallas_augment,
+                )
+            else:
+                img1, img2 = normalize(img1), normalize(img2)
         labels_f = labels.astype(jnp.float32)[..., None]
 
         def loss_fn(params):
@@ -220,10 +247,24 @@ class SiameseTrainer:
 
     # -- epoch drivers ---------------------------------------------------
 
-    def _device_arrays(self, ds: CachedDataset):
+    def _device_arrays(self, ds):
         """Push the cached dataset to device HBM once (replicated; on a
         multi-host slice each process contributes its local copy — see
-        parallel/mesh.put_dataset_global)."""
+        parallel/mesh.put_dataset_global).  A PaddedNativeDataset rides
+        its (labels, sizes) pair in the third slot."""
+        if isinstance(ds, PaddedNativeDataset):
+            if self.mesh is not None:
+                from ..parallel.mesh import put_dataset_global
+
+                i1, i2, lb, sz = put_dataset_global(
+                    self.mesh, ds.img1, ds.img2, ds.labels, ds.sizes
+                )
+            else:
+                i1, i2, lb, sz = (
+                    jax.device_put(ds.img1), jax.device_put(ds.img2),
+                    jax.device_put(ds.labels), jax.device_put(ds.sizes),
+                )
+            return (i1, i2, (lb, sz))
         if self.mesh is not None:
             from ..parallel.mesh import put_dataset_global
 

@@ -26,6 +26,7 @@ import numpy as np
 
 from .config import DataConfig, SiameseTrainConfig
 from .data import build_cached_dataset, create_sample_lists
+from .data.loader import build_padded_native_dataset
 from .train import SiameseTrainer
 from .tuning import MedianPruner, TrialPruned, TrialState, create_study
 
@@ -35,9 +36,13 @@ STORAGE = "sqlite:///optuna_study.db"  # reference train.py:340
 N_TRIALS = 50  # reference train.py:354
 
 
-def load_tuning_datasets(data_cfg: DataConfig, verbose: bool = True):
+def load_tuning_datasets(data_cfg: DataConfig, verbose: bool = True,
+                         native_aug: bool = False):
     """Decode/caches once for the whole study (the reference re-scans and
-    re-decodes per trial)."""
+    re-decodes per trial).  native_aug=True caches the TRAIN set at native
+    resolution (PaddedNativeDataset) so trials augment-then-resize exactly
+    like the reference chain (dataset.py:172-193); validation is always the
+    target-size cache."""
     train_samples = create_sample_lists(
         data_cfg.root_dir, data_cfg.dataset_subdir, data_cfg.synthetic_data_dir,
         mode="train", use_synthetic=data_cfg.use_synthetic, verbose=verbose,
@@ -46,9 +51,12 @@ def load_tuning_datasets(data_cfg: DataConfig, verbose: bool = True):
         data_cfg.root_dir, data_cfg.dataset_subdir, data_cfg.synthetic_data_dir,
         mode="val", verbose=verbose,
     )
-    train_ds = build_cached_dataset(
-        train_samples, data_cfg.target_size, verbose=verbose
-    )
+    if native_aug:
+        train_ds = build_padded_native_dataset(train_samples, verbose=verbose)
+    else:
+        train_ds = build_cached_dataset(
+            train_samples, data_cfg.target_size, verbose=verbose
+        )
     val_ds = build_cached_dataset(
         val_samples, data_cfg.target_size, verbose=verbose
     )
@@ -57,16 +65,19 @@ def load_tuning_datasets(data_cfg: DataConfig, verbose: bool = True):
 
 def make_objective(data_cfg: DataConfig, verbose: bool = True,
                    trial_epochs: int = TRIAL_EPOCHS, mesh=None,
-                   datasets=None, name: str = ""):
+                   datasets=None, name: str = "",
+                   native_aug: bool = False):
     """Build the Optuna objective.
 
     mesh: optional sub-mesh this objective's trials train on — the
     mechanism behind parallel trials across slice partitions.
     datasets: optional pre-built (train_ds, val_ds) shared across workers.
+    native_aug: augment trials at native resolution (see
+    load_tuning_datasets).
     """
     train_ds, val_ds = (
         datasets if datasets is not None
-        else load_tuning_datasets(data_cfg, verbose)
+        else load_tuning_datasets(data_cfg, verbose, native_aug=native_aug)
     )
 
     def objective(trial) -> float:
@@ -97,7 +108,10 @@ def make_objective(data_cfg: DataConfig, verbose: bool = True,
             optimizer=optimizer_name.lower(),
             seed=trial.number,
         )
-        trainer = SiameseTrainer(cfg, mesh=mesh, augment=True)
+        trainer = SiameseTrainer(
+            cfg, mesh=mesh, augment=True,
+            native_out_size=data_cfg.target_size if native_aug else None,
+        )
         # (augment=True per reference train.py:201)
         state = trainer.init_state(
             jax.random.PRNGKey(trial.number), data_cfg.target_size
@@ -144,6 +158,7 @@ def run_tuning(
     trial_epochs: int = TRIAL_EPOCHS,
     verbose: bool = True,
     n_parallel: int = 1,
+    native_aug: bool = False,
 ):
     """Run the study.  n_parallel > 1 partitions the device slice into
     n_parallel sub-meshes and runs that many trials CONCURRENTLY, one
@@ -161,7 +176,8 @@ def run_tuning(
     )
     if n_parallel <= 1:
         objective = make_objective(data_cfg, verbose=verbose,
-                                   trial_epochs=trial_epochs)
+                                   trial_epochs=trial_epochs,
+                                   native_aug=native_aug)
         study.optimize(objective, n_trials=n_trials, n_jobs=1)
     else:
         import threading
@@ -169,7 +185,8 @@ def run_tuning(
         devs = jax.devices()
         n_parallel = min(n_parallel, max(1, len(devs)))
         per = len(devs) // n_parallel
-        datasets = load_tuning_datasets(data_cfg, verbose)
+        datasets = load_tuning_datasets(data_cfg, verbose,
+                                        native_aug=native_aug)
         # Each worker's sub-mesh over its own slice partition.
         import numpy as _np
         from jax.sharding import Mesh as _Mesh
@@ -188,6 +205,7 @@ def run_tuning(
             objective = make_objective(
                 data_cfg, verbose=verbose, trial_epochs=trial_epochs,
                 mesh=meshes[k], datasets=datasets, name=f"[w{k}] ",
+                native_aug=native_aug,
             )
             try:
                 study.optimize(objective, n_trials=shares[k], n_jobs=1)

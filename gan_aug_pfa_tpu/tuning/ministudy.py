@@ -47,14 +47,31 @@ class TrialState(enum.Enum):
 
 
 class MedianPruner:
-    """Prune if the trial's intermediate value is worse than the median of
-    completed trials' values at the same step (Optuna-compatible knobs)."""
+    """Prune if the trial's best intermediate result so far is worse than
+    the median of other trials' reported values at the same step
+    (real-Optuna MedianPruner semantics, reference train.py:345):
+
+      * history considered = FINISHED trials (COMPLETE **and** PRUNED) —
+        pruned trials' reported intermediates count, so pruning bites as
+        early as Optuna's would on the same history;
+      * the startup gate counts finished trials;
+      * the current trial competes with its BEST intermediate over all
+        steps so far, not just the latest report;
+      * the median is the interpolated (numpy-percentile-50) median.
+    """
 
     def __init__(self, n_startup_trials: int = 5, n_warmup_steps: int = 0,
                  interval_steps: int = 1):
         self.n_startup_trials = n_startup_trials
         self.n_warmup_steps = n_warmup_steps
         self.interval_steps = interval_steps
+
+    @staticmethod
+    def _median(values: List[float]) -> float:
+        s = sorted(values)
+        n = len(s)
+        mid = n // 2
+        return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
 
     def should_prune(self, study: "Study", trial: "Trial") -> bool:
         if not trial._intermediate:
@@ -64,24 +81,23 @@ class MedianPruner:
             return False
         if (step - self.n_warmup_steps) % self.interval_steps != 0:
             return False
-        completed = [
-            t for t in study.trials if t.state == TrialState.COMPLETE
+        finished = [
+            t for t in study.trials
+            if t.state in (TrialState.COMPLETE, TrialState.PRUNED)
         ]
-        if len(completed) < self.n_startup_trials:
+        if len(finished) < self.n_startup_trials:
             return False
         others = [
             t.intermediate_values[step]
-            for t in completed
+            for t in finished
             if step in t.intermediate_values
         ]
         if not others:
             return False
-        others_sorted = sorted(others)
-        median = others_sorted[len(others_sorted) // 2]
-        value = trial._intermediate[step]
+        median = self._median(others)
         if study.direction == "minimize":
-            return value > median
-        return value < median
+            return min(trial._intermediate.values()) > median
+        return max(trial._intermediate.values()) < median
 
 
 class FrozenTrial:
@@ -357,32 +373,61 @@ class Study:
 
     # -- optimize -----------------------------------------------------------
 
+    def _run_one_trial(self, objective, catch) -> None:
+        trial = self._new_trial()
+        try:
+            value = objective(trial)
+            self._finish_trial(trial, TrialState.COMPLETE, float(value))
+        except TrialPruned:
+            last = (
+                trial._intermediate[max(trial._intermediate)]
+                if trial._intermediate else None
+            )
+            self._finish_trial(trial, TrialState.PRUNED, last)
+        except Exception as e:  # noqa: BLE001 — parity with optuna
+            self._finish_trial(trial, TrialState.FAIL, None)
+            if catch and isinstance(e, tuple(catch)):
+                return
+            raise
+
     def optimize(self, objective: Callable[[Trial], float],
                  n_trials: int = 1, n_jobs: int = 1,
                  timeout: Optional[float] = None,
                  catch=()) -> None:
+        """Run trials; n_jobs>1 runs them on a thread pool (same model as
+        real optuna — useful when the objective releases the GIL, e.g.
+        while a TPU train step executes). n_jobs=-1 uses all CPUs."""
         import time as _time
 
         t_start = _time.time()
-        for _ in range(n_trials):
-            if timeout is not None and _time.time() - t_start > timeout:
-                break
-            trial = self._new_trial()
-            try:
-                value = objective(trial)
-                self._finish_trial(trial, TrialState.COMPLETE, float(value))
-            except TrialPruned:
-                last = (
-                    trial._intermediate[max(trial._intermediate)]
-                    if trial._intermediate else None
+
+        def timed_out() -> bool:
+            return timeout is not None and _time.time() - t_start > timeout
+
+        if n_jobs == 1:
+            for _ in range(n_trials):
+                if timed_out():
+                    break
+                self._run_one_trial(objective, catch)
+            return
+
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        if n_jobs == -1:
+            n_jobs = os.cpu_count() or 1
+        if n_jobs < 1:
+            raise ValueError(f"n_jobs must be >= 1 or -1, got {n_jobs}")
+        with ThreadPoolExecutor(max_workers=n_jobs) as pool:
+            futures = []
+            for _ in range(n_trials):
+                if timed_out():
+                    break
+                futures.append(
+                    pool.submit(self._run_one_trial, objective, catch)
                 )
-                self._finish_trial(trial, TrialState.PRUNED, last)
-            except Exception as e:  # noqa: BLE001 — parity with optuna
-                if catch and isinstance(e, tuple(catch)):
-                    self._finish_trial(trial, TrialState.FAIL, None)
-                    continue
-                self._finish_trial(trial, TrialState.FAIL, None)
-                raise
+            for f in futures:
+                f.result()  # surface uncaught objective exceptions
 
 
 def _optuna_schema(db_path: str) -> bool:

@@ -3,8 +3,24 @@
 import os
 
 import jax
+import pytest
 
 from gan_aug_pfa_tpu.utils.compile_cache import enable_compile_cache
+
+
+@pytest.fixture(autouse=True)
+def _restore_cache_config():
+    """Snapshot/restore the global jax cache config so these tests are
+    order-independent and don't leak a persistent cache into later tests."""
+    keys = (
+        "jax_compilation_cache_dir",
+        "jax_persistent_cache_min_compile_time_secs",
+        "jax_persistent_cache_min_entry_size_bytes",
+    )
+    saved = {k: getattr(jax.config, k) for k in keys}
+    yield
+    for k, v in saved.items():
+        jax.config.update(k, v)
 
 
 def test_enable_sets_config_and_creates_dir(tmp_path):
@@ -32,13 +48,10 @@ def test_unwritable_dir_disables_quietly(tmp_path):
 def test_cache_round_trip_writes_entries(tmp_path):
     d = str(tmp_path / "rt")
     enable_compile_cache(d)
-    try:
-        import jax.numpy as jnp
+    import jax.numpy as jnp
 
-        jax.jit(lambda x: x * 2 + 1)(jnp.ones((4,)))
-        assert len(os.listdir(d)) >= 1
-    finally:
-        jax.config.update("jax_compilation_cache_dir", None)
+    jax.jit(lambda x: x * 2 + 1)(jnp.ones((4,)))
+    assert len(os.listdir(d)) >= 1
 
 
 def test_cpu_backend_default_is_skipped(monkeypatch):

@@ -23,6 +23,32 @@ def test_make_mesh_shapes():
     assert dict(m3.shape) == {"data": 4}
 
 
+def test_make_mesh_default_shape_multi_axis():
+    # shape=None with 2 axis names: all devices on the first axis.
+    m = make_mesh(8, axis_names=("data", "spatial"))
+    assert dict(m.shape) == {"data": 8, "spatial": 1}
+
+
+def test_make_mesh_too_few_devices_errors():
+    import pytest
+
+    with pytest.raises(ValueError, match="wanted 16 devices.*has 8"):
+        make_mesh(16)
+    with pytest.raises(
+        ValueError, match="xla_force_host_platform_device_count=16"
+    ):
+        make_mesh(16)  # the error carries the provisioning hint
+
+
+def test_make_mesh_bad_shape_errors():
+    import pytest
+
+    with pytest.raises(ValueError, match="needs 6 devices but 8"):
+        make_mesh(8, axis_names=("data", "spatial"), shape=(3, 2))
+    with pytest.raises(ValueError, match="has 1 dims.*2"):
+        make_mesh(8, axis_names=("data", "spatial"), shape=(8,))
+
+
 def test_batch_sharding_distributes_batch_dim():
     mesh = make_mesh(8)
     x = np.zeros((16, 4, 4, 3), np.float32)

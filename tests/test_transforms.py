@@ -151,3 +151,132 @@ def test_gaussian_blur_preserves_mean_roughly():
     out = T.gaussian_blur3(IMG1, 0.8)
     assert abs(float(out.mean()) - float(IMG1.mean())) < 0.01
     assert float(out.var()) < float(IMG1.var())  # smoothing reduces variance
+
+
+# -- native-resolution augmentation (VERDICT r1 item 5) ----------------------
+
+
+def test_native_equals_fixed_when_sizes_match():
+    """When native == buffer == target size, the native chain reduces to
+    the fixed-size chain (same params, same per-stage arithmetic)."""
+    from gan_aug_pfa_tpu.data.transforms import (
+        augment_batch,
+        augment_batch_native,
+    )
+
+    r = np.random.RandomState(0)
+    b, s = 3, 32
+    i1 = jnp.asarray(r.rand(b, s, s, 3).astype(np.float32))
+    i2 = jnp.asarray(r.rand(b, s, s, 3).astype(np.float32))
+    lb = jnp.asarray((r.rand(b, s, s) > 0.8).astype(np.int32))
+    sizes = jnp.full((b, 2), s, jnp.int32)
+    rng = jax.random.PRNGKey(7)
+
+    f1, f2, fl = augment_batch(rng, i1, i2, lb)
+    n1, n2, nl = augment_batch_native(rng, i1, i2, lb, sizes, (s, s))
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(f1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(n2), np.asarray(f2), atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(nl), np.asarray(fl))
+
+
+def test_native_output_independent_of_padding_garbage():
+    """The padded tail beyond each sample's native extent must not leak
+    into the augmented output."""
+    from gan_aug_pfa_tpu.data.transforms import augment_batch_native
+
+    r = np.random.RandomState(1)
+    b, hp, wp = 2, 48, 48
+    sizes = np.array([[32, 27], [40, 48]], np.int32)
+    clean1 = np.zeros((b, hp, wp, 3), np.float32)
+    clean2 = np.zeros((b, hp, wp, 3), np.float32)
+    lclean = np.zeros((b, hp, wp), np.int32)
+    for i, (h, w) in enumerate(sizes):
+        clean1[i, :h, :w] = r.rand(h, w, 3)
+        clean2[i, :h, :w] = r.rand(h, w, 3)
+        lclean[i, :h, :w] = (r.rand(h, w) > 0.8)
+    junk1, junk2, ljunk = clean1.copy(), clean2.copy(), lclean.copy()
+    for i, (h, w) in enumerate(sizes):
+        junk1[i, h:, :] = r.rand(hp - h, wp, 3)
+        junk1[i, :, w:] = r.rand(hp, wp - w, 3)
+        junk2[i, h:, :] = 9.0
+        junk2[i, :, w:] = -3.0
+        ljunk[i, h:, :] = 1
+        ljunk[i, :, w:] = 1
+
+    rng = jax.random.PRNGKey(3)
+    out_c = augment_batch_native(
+        rng, jnp.asarray(clean1), jnp.asarray(clean2), jnp.asarray(lclean),
+        jnp.asarray(sizes), (24, 24),
+    )
+    out_j = augment_batch_native(
+        rng, jnp.asarray(junk1), jnp.asarray(junk2), jnp.asarray(ljunk),
+        jnp.asarray(sizes), (24, 24),
+    )
+    for a, bb in zip(out_c, out_j):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+    # Label stays binary, images in [-1, 1].
+    assert set(np.unique(np.asarray(out_c[2]))) <= {0, 1}
+    assert np.asarray(out_c[0]).min() >= -1.0
+    assert np.asarray(out_c[0]).max() <= 1.0
+
+
+def test_resize_from_native_matches_host_resize():
+    """The device-side dynamic-extent resizes match the host cache resizes
+    (loader numerics) on the cropped native region."""
+    from gan_aug_pfa_tpu.data.loader import (
+        _resize_bilinear_np,
+        _resize_nearest_np,
+    )
+    from gan_aug_pfa_tpu.data.transforms import (
+        resize_from_native_bilinear,
+        resize_from_native_nearest,
+    )
+
+    r = np.random.RandomState(2)
+    for (h, w), out in [((20, 30), (16, 16)), ((14, 9), (16, 16)),
+                        ((33, 17), (8, 24))]:
+        img = r.rand(40, 40, 3).astype(np.float32)
+        got = np.asarray(resize_from_native_bilinear(
+            jnp.asarray(img), h, w, out
+        ))
+        want = _resize_bilinear_np(img[:h, :w].copy(), out)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+        lab = (r.rand(40, 40) > 0.5).astype(np.int32)
+        got_l = np.asarray(resize_from_native_nearest(
+            jnp.asarray(lab), h, w, out
+        ))
+        want_l = _resize_nearest_np(lab[:h, :w].copy(), out)
+        np.testing.assert_array_equal(got_l, want_l)
+
+
+def test_padded_native_dataset_and_trainer_step(oscd_tree):
+    """End-to-end: build the padded native cache from the fixture tree and
+    run one native-augment train step to target size."""
+    from gan_aug_pfa_tpu.config import SiameseTrainConfig
+    from gan_aug_pfa_tpu.data.loader import build_padded_native_dataset
+    from gan_aug_pfa_tpu.data.scanner import create_sample_lists
+    from gan_aug_pfa_tpu.train import SiameseTrainer
+
+    samples = create_sample_lists(
+        str(oscd_tree), "Onera Satellite Change Detection Dataset",
+        "synthetic_data", mode="train", verbose=False,
+    )
+    ds = build_padded_native_dataset(samples, verbose=False)
+    assert len(ds) == 4
+    assert ds.sizes.shape == (4, 2)
+    # Native sizes preserved (fixture: abudhabi 40x52, paris 48x40, ...).
+    assert [tuple(s) for s in ds.sizes.tolist()].count((40, 52)) == 1
+    hp, wp = ds.img1.shape[1], ds.img1.shape[2]
+    assert hp % 8 == 0 and wp % 8 == 0
+    assert hp >= 48 and wp >= 52
+
+    cfg = SiameseTrainConfig(batch_size=2, compute_dtype="float32")
+    tr = SiameseTrainer(cfg, augment=True, native_out_size=(16, 16))
+    state = tr.init_state(jax.random.PRNGKey(0), (16, 16))
+    dev = tr._device_arrays(ds)
+    state, loss = tr.train_epoch(
+        state, dev, len(ds), jax.random.PRNGKey(1),
+        np.random.RandomState(0),
+    )
+    assert np.isfinite(loss)

@@ -220,3 +220,151 @@ def test_parallel_trials_across_submeshes(oscd_tree, tmp_path):
         t.state in (TrialState.COMPLETE, TrialState.PRUNED) for t in trials
     )
     assert study.best_trial.value is not None
+
+
+# -- real-Optuna MedianPruner semantics (VERDICT r1 item 6) -----------------
+
+
+def _const_objective(v, prune=False):
+    def obj(trial):
+        trial.report(v, 0)
+        if prune:
+            raise TrialPruned()
+        return v
+    return obj
+
+
+def test_pruner_counts_pruned_trials_intermediates():
+    """Pruned trials' reported intermediates are part of the median
+    history (real MedianPruner), so pruning bites as early as Optuna's."""
+    pruner = MedianPruner(n_startup_trials=2, n_warmup_steps=0)
+    study = create_study(storage=None, pruner=pruner, sampler_seed=0)
+    study.optimize(_const_objective(0.3), n_trials=1)
+    study.optimize(_const_objective(0.1, prune=True), n_trials=1)
+
+    seen = {}
+
+    def probe(trial):
+        trial.report(0.25, 0)
+        seen["pruned"] = trial.should_prune()  # median(0.1, 0.3) = 0.2
+        return 0.25
+
+    study.optimize(probe, n_trials=1)
+    assert seen["pruned"] is True  # completed-only history would say no
+
+
+def test_pruner_median_is_interpolated():
+    pruner = MedianPruner(n_startup_trials=2, n_warmup_steps=0)
+    study = create_study(storage=None, pruner=pruner, sampler_seed=0)
+    for v in (0.1, 0.2, 0.3, 0.4):
+        study.optimize(_const_objective(v), n_trials=1)
+
+    seen = {}
+
+    def probe(v):
+        def obj(trial):
+            trial.report(v, 0)
+            seen[v] = trial.should_prune()  # median = 0.25 interpolated
+            return v
+        return obj
+
+    study.optimize(probe(0.24), n_trials=1)
+    study.optimize(probe(0.26), n_trials=1)
+    assert seen[0.24] is False
+    assert seen[0.26] is True
+
+
+def test_pruner_compares_best_intermediate_over_steps():
+    """A trial whose EARLIER report beat the median is not pruned on a
+    later bad report (Optuna compares the best-so-far)."""
+    pruner = MedianPruner(n_startup_trials=2, n_warmup_steps=0)
+    study = create_study(storage=None, pruner=pruner, sampler_seed=0)
+
+    def two_step(v0, v1):
+        def obj(trial):
+            trial.report(v0, 0)
+            trial.report(v1, 1)
+            return v1
+        return obj
+
+    study.optimize(two_step(0.1, 0.1), n_trials=1)
+    study.optimize(two_step(0.2, 0.2), n_trials=1)
+
+    seen = {}
+
+    def probe(trial):
+        trial.report(0.05, 0)
+        trial.report(0.5, 1)  # bad step, but best-so-far 0.05 < 0.15
+        seen["pruned"] = trial.should_prune()
+        return 0.5
+
+    study.optimize(probe, n_trials=1)
+    assert seen["pruned"] is False
+
+
+def test_optimize_n_jobs_parallel(tmp_path):
+    study = create_study(
+        study_name="jobs",
+        storage=f"sqlite:///{tmp_path/'jobs.db'}",
+        sampler_seed=0,
+    )
+    import threading
+
+    tids = set()
+
+    def obj(trial):
+        tids.add(threading.get_ident())
+        return trial.suggest_float("x", 0.0, 1.0)
+
+    study.optimize(obj, n_trials=8, n_jobs=2)
+    done = [t for t in study.trials if t.state == TrialState.COMPLETE]
+    assert len(done) == 8
+    assert len({t.number for t in study.trials}) == 8  # unique numbers
+    assert len(tids) >= 1  # pool ran (thread reuse may collapse to 1)
+
+    with pytest.raises(ValueError, match="n_jobs"):
+        study.optimize(obj, n_trials=1, n_jobs=0)
+
+
+def test_optuna_differential_median_pruner():
+    """Differential check vs REAL optuna when importable: identical
+    report histories must produce identical prune decisions."""
+    optuna = pytest.importorskip("optuna")
+
+    histories = [
+        [(0, 0.3)], [(0, 0.1)], [(0, 0.2)], [(0, 0.25)], [(0, 0.15)],
+        [(0, 0.18), (1, 0.4)],
+    ]
+
+    def run(create, pruner, pruned_exc):
+        decisions = []
+
+        def make(h):
+            def obj(trial):
+                for step, v in h:
+                    trial.report(v, step)
+                    if trial.should_prune():
+                        decisions.append((tuple(h), step, True))
+                        raise pruned_exc()
+                decisions.append((tuple(h), None, False))
+                return h[-1][1]
+            return obj
+
+        study = create(pruner)
+        for h in histories:
+            try:
+                study.optimize(make(h), n_trials=1)
+            except pruned_exc:
+                pass
+        return decisions
+
+    ours = run(
+        lambda p: create_study(storage=None, pruner=p, sampler_seed=0),
+        MedianPruner(n_startup_trials=2, n_warmup_steps=0), TrialPruned,
+    )
+    theirs = run(
+        lambda p: optuna.create_study(direction="minimize", pruner=p),
+        optuna.pruners.MedianPruner(n_startup_trials=2, n_warmup_steps=0),
+        optuna.TrialPruned,
+    )
+    assert ours == theirs

@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--augment", action="store_true",
                    help="[extension] enable joint augmentation in main "
                         "training (the reference only augments under --tune)")
+    p.add_argument("--native-aug", action="store_true",
+                   help="[extension] augment at each sample's NATIVE "
+                        "resolution and resize to target as chain step 5 "
+                        "(the reference's augment-then-resize order); "
+                        "applies to --tune and --augment")
     p.add_argument("--resume", action="store_true",
                    help="[extension] resume from the last saved state")
     p.add_argument("--seed", type=int, default=0, help="[extension] PRNG seed")
@@ -113,12 +118,14 @@ def main() -> None:
         target_size=target_size,
         use_synthetic=args.use_synthetic,
         augment=args.augment,
+        native_aug=args.native_aug,
     )
     if args.tune:
         from gan_aug_pfa_tpu.tune import run_tuning
 
         run_tuning(data_cfg, n_trials=args.n_trials,
-                   n_parallel=args.parallel_trials)
+                   n_parallel=args.parallel_trials,
+                   native_aug=args.native_aug)
         return
     train_cfg = SiameseTrainConfig(
         batch_size=args.batch_size,

@@ -17,11 +17,15 @@ import json
 import sys
 import time
 
-# Reference throughput: torch 2.13 CPU, measured in this container
-# 2026-08-16.  Siamese: fwd+bwd+AdamW step, bs=4 @128x128 -> 10.62 s/step
-# = 0.377 images/s.  GAN: full D+G step, bs=1 @256x256 -> 0.597 images/s.
-# The reference has no published numbers (BASELINE.md).
-TORCH_CPU_SIAMESE_IPS = 0.3767
+# Reference throughput: torch 2.13 CPU in this container.  Reproduce with
+# `python scripts/bench_torch_baseline.py` (runs the reference models from
+# /root/reference on this host's CPU).  Measurements vary ~±20% with host
+# load on the 1-core container (2026-08-16: 0.377 siamese / 0.597 GAN;
+# 2026-08-17 script runs: 0.488-0.582 siamese / 0.318-0.516 GAN images/s);
+# the constants below take each metric's FASTEST observed run so the
+# vs_baseline multiplier is conservative.  The reference itself publishes
+# no numbers (BASELINE.md).
+TORCH_CPU_SIAMESE_IPS = 0.5819
 TORCH_CPU_GAN_IPS = 0.597
 
 

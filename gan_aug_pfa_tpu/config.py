@@ -151,6 +151,11 @@ class GenerateConfig:
     gan_checkpoint_dir: str = "gan_checkpoints"
     synthetic_data_dir: str = SYNTHETIC_DATA_DIR_DEFAULT
     n_channels: int = 3
+    # float32 by default: generation is a tiny one-shot inference workload
+    # and BASELINE.json asks for bit-comparable PNG outputs vs the
+    # reference's fp32 torch path (scripts/check_png_bitparity.py);
+    # bfloat16 is available for throughput if ever needed.
+    compute_dtype: str = "float32"
 
 
 def parse_target_size(value: str) -> Tuple[int, int]:

@@ -393,7 +393,8 @@ def run_generate_synthetic(
     ds = build_cached_dataset(samples, gen_cfg.target_size, verbose=verbose)
 
     gan_cfg = GANTrainConfig(
-        target_size=gen_cfg.target_size, n_channels=gen_cfg.n_channels
+        target_size=gen_cfg.target_size, n_channels=gen_cfg.n_channels,
+        compute_dtype=gen_cfg.compute_dtype,
     )
     trainer = GANTrainer(gan_cfg)
     sg, _ = trainer.init_states(jax.random.PRNGKey(0))
@@ -427,8 +428,17 @@ def run_generate_synthetic(
             os.makedirs(lbl_dir, exist_ok=True)
             # img1 saved is the resized copy, img2 is the generator output,
             # label is the real label * 255 (reference
-            # generate_synthetic_data.py:70-85).
-            Image.fromarray(float_to_uint8(ds.img1[sample_idx])).save(
+            # generate_synthetic_data.py:70-85).  The reference's img1 went
+            # through normalize -> denormalize ((x*2-1)*0.5+0.5) before the
+            # truncating byte conversion; that f32 round trip lands a hair
+            # BELOW exact integer pixel values, so byte-for-byte parity
+            # requires replaying it (scripts/check_png_bitparity.py showed
+            # up to 84% of pixels one LSB high without it).
+            img1 = ds.img1[sample_idx].astype(np.float32)
+            img1 = (img1 * np.float32(2.0) - np.float32(1.0)) * np.float32(
+                0.5
+            ) + np.float32(0.5)
+            Image.fromarray(float_to_uint8(img1)).save(
                 os.path.join(img_dir, f"img1_synth_{sample_idx}.png")
             )
             Image.fromarray(float_to_uint8(fake[j])).save(

@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--target-size", type=str, default="256x256",
                    help="Must match GAN training size")
+    p.add_argument("--compute-dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="[extension] generator inference dtype (float32 "
+                        "default for bit-comparable PNG outputs)")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="[extension] disable the persistent XLA compilation cache")
     return p
@@ -57,6 +61,7 @@ def main() -> None:
         generator_checkpoint_name=args.generator_checkpoint_name,
         gan_checkpoint_dir=args.gan_checkpoint_dir,
         synthetic_data_dir=args.synthetic_data_dir,
+        compute_dtype=args.compute_dtype,
     )
     from gan_aug_pfa_tpu.pipelines import run_generate_synthetic
 

@@ -188,6 +188,10 @@ def main():
                     help="JAX-side compute dtype (torch side is f32; "
                     "float32 default keeps the comparison apples-to-apples)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seeds", type=str, default=None,
+                    help="comma-separated list; runs BOTH sides once per "
+                    "seed and reports mean +/- spread deltas (the "
+                    "multi-seed evidence behind the PARITY.md claim)")
     args = ap.parse_args()
     size = parse_target_size(args.target_size)
     dc = DataConfig(root_dir=args.root_dir, target_size=size)
@@ -202,23 +206,32 @@ def main():
     eval_ds = build_cached_dataset(eval_samples, size)
     labels = eval_ds.labels
 
-    print("== JAX/TPU framework ==", flush=True)
-    jax_probs, jax_t = run_jax_side(
-        train_ds, eval_ds, args.epochs, seed=args.seed,
-        compute_dtype=args.compute_dtype,
-    )
-    jax_m = macro_metrics(jax_probs, labels)
-    print(json.dumps(jax_m, indent=2), flush=True)
+    seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
+             else [args.seed])
+    results = []  # (seed, jax_metrics, ref_metrics, jax_t, ref_t)
+    for seed in seeds:
+        print(f"== seed {seed}: JAX/TPU framework ==", flush=True)
+        jax_probs, jax_t = run_jax_side(
+            train_ds, eval_ds, args.epochs, seed=seed,
+            compute_dtype=args.compute_dtype,
+        )
+        jax_m = macro_metrics(jax_probs, labels)
+        print(json.dumps(jax_m, indent=2), flush=True)
+        if args.skip_torch:
+            continue
+        print(f"== seed {seed}: torch reference (reference models.py) ==",
+              flush=True)
+        ref_probs, ref_t = run_torch_reference(
+            train_ds, eval_ds, args.epochs, seed=seed
+        )
+        ref_m = macro_metrics(ref_probs, labels)
+        print(json.dumps(ref_m, indent=2), flush=True)
+        results.append((seed, jax_m, ref_m, jax_t, ref_t))
 
-    if args.skip_torch:
+    if args.skip_torch or not results:
         return
-    print("== torch reference (reference models.py) ==", flush=True)
-    ref_probs, ref_t = run_torch_reference(
-        train_ds, eval_ds, args.epochs, seed=args.seed
-    )
-    ref_m = macro_metrics(ref_probs, labels)
-    print(json.dumps(ref_m, indent=2), flush=True)
 
+    keys = ("accuracy", "precision", "recall", "f1", "iou")
     lines = [
         "# PARITY — reference torch model vs gan_aug_pfa_tpu",
         "",
@@ -230,23 +243,48 @@ def main():
         "evaluate.py semantics).  The reference side runs the reference's "
         "own models.py under torch CPU (torchvision is unavailable, so its "
         "PIL pipeline is replaced by the shared cache — whose numerics are "
-        "tested equal to torch's).",
+        "tested equal to torch's).  "
+        f"Seeds: {', '.join(str(s) for s in seeds)} (each seed trains both "
+        "sides from scratch).",
         "",
-        "| metric | torch reference | this framework | delta |",
-        "|---|---|---|---|",
     ]
-    for k in ("accuracy", "precision", "recall", "f1", "iou"):
-        d = jax_m[k] - ref_m[k]
-        lines.append(
-            f"| {k} | {ref_m[k]:.4f} | {jax_m[k]:.4f} | {d:+.4f} |"
-        )
-    lines += [
-        "",
-        f"Train wall-clock for {args.epochs} epochs: torch-CPU {ref_t:.0f}s "
-        f"vs this framework {jax_t:.0f}s.",
-        "",
-        "Run: `python scripts/parity_run.py --root-dir <oscd_root>`.",
-    ]
+    for seed, jax_m, ref_m, jax_t, ref_t in results:
+        lines += [
+            f"## Seed {seed}",
+            "",
+            "| metric | torch reference | this framework | delta |",
+            "|---|---|---|---|",
+        ]
+        for k in keys:
+            d = jax_m[k] - ref_m[k]
+            lines.append(
+                f"| {k} | {ref_m[k]:.4f} | {jax_m[k]:.4f} | {d:+.4f} |"
+            )
+        lines += [
+            "",
+            f"Train wall-clock for {args.epochs} epochs: torch-CPU "
+            f"{ref_t:.0f}s vs this framework {jax_t:.0f}s.",
+            "",
+        ]
+    if len(results) > 1:
+        lines += [
+            "## Across seeds (delta = framework - reference)",
+            "",
+            "| metric | mean delta | min | max | mean |ref| |",
+            "|---|---|---|---|---|",
+        ]
+        for k in keys:
+            ds = [jm[k] - rm[k] for _, jm, rm, _, _ in results]
+            refs = [rm[k] for _, _, rm, _, _ in results]
+            lines.append(
+                f"| {k} | {np.mean(ds):+.4f} | {min(ds):+.4f} | "
+                f"{max(ds):+.4f} | {np.mean(refs):.4f} |"
+            )
+        lines.append("")
+    lines.append(
+        "Run: `python scripts/parity_run.py --root-dir <oscd_root> "
+        "--seeds 0,1,2`."
+    )
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out}", flush=True)

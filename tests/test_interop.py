@@ -43,6 +43,7 @@ def _init_vars(model, *shapes):
     return jax.tree_util.tree_unflatten(treedef, flat)
 
 
+@pytest.mark.slow
 def test_siamese_round_trip_bitwise():
     v = _init_vars(SiameseUNet(n_channels=3, n_classes=1),
                    (1, 32, 32, 3), (1, 32, 32, 3))
@@ -53,6 +54,7 @@ def test_siamese_round_trip_bitwise():
                 back)
 
 
+@pytest.mark.slow
 def test_generator_round_trip_bitwise():
     v = _init_vars(UNetGenerator(3, 3), (1, 128, 128, 3))
     sd = interop.generator_to_torch(v)

@@ -124,6 +124,7 @@ def test_losses_jit_and_grad():
     assert bool(jnp.all(jnp.isfinite(grad)))
 
 
+@pytest.mark.slow
 def test_gan_trainer_batched_disc_smoke():
     """batched_disc=True: one [real|fake] D pass; the step runs and both
     losses stay finite (CPU, tiny 128px)."""

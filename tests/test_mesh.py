@@ -4,6 +4,7 @@ device CPU platform."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gan_aug_pfa_tpu.parallel.mesh import (
     batch_sharding,
@@ -118,6 +119,7 @@ def test_spatial_sharded_conv_matches_unsharded():
     np.testing.assert_allclose(np.asarray(sharded(xs)), ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_siamese_eval_loss_spatial_mesh_equivalence():
     """The trainer's eval loss under a ('data','spatial') mesh (batch AND
     feature-map-H sharded) matches the single-device value."""

@@ -122,6 +122,7 @@ def test_batched_encoder_eval_equivalence(rng):
     )
 
 
+@pytest.mark.slow
 def test_concat_free_forward_and_grad_equivalence(rng):
     """concat_free=True: identical param tree; forward (train and eval
     modes) and parameter gradients match the concat path to fp

@@ -131,6 +131,7 @@ def _batch(b=4, h=24, w=24):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 7])
+@pytest.mark.slow
 def test_pallas_augment_matches_jnp(seed):
     i1, i2, lb = _batch()
     key = jax.random.PRNGKey(seed)
@@ -142,6 +143,7 @@ def test_pallas_augment_matches_jnp(seed):
         )
 
 
+@pytest.mark.slow
 def test_pallas_augment_no_labels():
     i1, i2, _ = _batch(b=2)
     key = jax.random.PRNGKey(3)
@@ -153,6 +155,7 @@ def test_pallas_augment_no_labels():
     )
 
 
+@pytest.mark.slow
 def test_trainer_fused_flags_smoke():
     """A SiameseTrainer step with both Pallas opt-ins enabled runs and
     produces a finite loss (interpret mode on the CPU test platform)."""

@@ -12,6 +12,8 @@ import shutil
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy compile/pipeline tier
 from PIL import Image
 
 from gan_aug_pfa_tpu.config import (

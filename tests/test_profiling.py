@@ -63,6 +63,7 @@ def test_nan_guard_ignores_int_leaves():
     nan_guard({"idx": jnp.arange(5), "x": jnp.ones(2)})
 
 
+@pytest.mark.slow
 def test_pipeline_profile_integration(tmp_path):
     """run through SiameseTrainer with a timer attached — the pipeline's
     profiling path."""

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compile/pipeline tier
+
 from gan_aug_pfa_tpu.config import SiameseTrainConfig
 from gan_aug_pfa_tpu.parallel.mesh import make_mesh
 from gan_aug_pfa_tpu.train import SiameseTrainer

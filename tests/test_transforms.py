@@ -156,6 +156,7 @@ def test_gaussian_blur_preserves_mean_roughly():
 # -- native-resolution augmentation (VERDICT r1 item 5) ----------------------
 
 
+@pytest.mark.slow
 def test_native_equals_fixed_when_sizes_match():
     """When native == buffer == target size, the native chain reduces to
     the fixed-size chain (same params, same per-stage arithmetic)."""
@@ -179,6 +180,7 @@ def test_native_equals_fixed_when_sizes_match():
     np.testing.assert_array_equal(np.asarray(nl), np.asarray(fl))
 
 
+@pytest.mark.slow
 def test_native_output_independent_of_padding_garbage():
     """The padded tail beyond each sample's native extent must not leak
     into the augmented output."""
@@ -250,6 +252,7 @@ def test_resize_from_native_matches_host_resize():
         np.testing.assert_array_equal(got_l, want_l)
 
 
+@pytest.mark.slow
 def test_padded_native_dataset_and_trainer_step(oscd_tree):
     """End-to-end: build the padded native cache from the fixture tree and
     run one native-augment train step to target size."""

@@ -200,6 +200,7 @@ def test_load_study_reads_real_optuna_schema(tmp_path):
         study.optimize(lambda t: 0.0, n_trials=1)
 
 
+@pytest.mark.slow
 def test_parallel_trials_across_submeshes(oscd_tree, tmp_path):
     """n_parallel=2: trials run concurrently on disjoint device-slice
     partitions (the BASELINE 'sweep across a TPU slice' shape), all landing

@@ -29,20 +29,21 @@ TORCH_CPU_SIAMESE_IPS = 0.5819
 TORCH_CPU_GAN_IPS = 0.597
 
 
-def bench_siamese(batched_encoder: bool = True):
+def bench_siamese(batched_encoder: bool = True, batch_size: int = 4):
     import numpy as np
     import jax
 
     from gan_aug_pfa_tpu.config import SiameseTrainConfig
     from gan_aug_pfa_tpu.train import SiameseTrainer
 
-    cfg = SiameseTrainConfig(batch_size=4, compute_dtype="bfloat16",
+    cfg = SiameseTrainConfig(batch_size=batch_size,
+                             compute_dtype="bfloat16",
                              batched_encoder=batched_encoder)
     trainer = SiameseTrainer(cfg, augment=False)
     state = trainer.init_state(jax.random.PRNGKey(0), (128, 128))
 
     rng = np.random.RandomState(0)
-    n = 12  # ~the OSCD train-set size
+    n = max(12, batch_size * 3)  # >= the OSCD train-set size
     ds = tuple(
         jax.device_put(a)
         for a in (
@@ -60,10 +61,11 @@ def bench_siamese(batched_encoder: bool = True):
     # the number reflects device throughput, not host/tunnel round-trips
     # (production syncs once per epoch for the plateau scheduler).
     steps = 120
+    bs = batch_size
     perm = np.concatenate(
-        [epoch_rng.permutation(n) for _ in range(steps * 4 // n + 1)]
-    )[: steps * 4]
-    idx_mat = jnp.asarray(perm.reshape(steps, 4), dtype=jnp.int32)
+        [epoch_rng.permutation(n) for _ in range(steps * bs // n + 1)]
+    )[: steps * bs]
+    idx_mat = jnp.asarray(perm.reshape(steps, bs), dtype=jnp.int32)
     keys = jax.random.split(key, steps)
 
     # Sync via a scalar readback: through the axon tunnel,
@@ -120,6 +122,16 @@ def bench_gan():
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=4,
+                    help="Siamese bench batch size (scaling rows; the "
+                         "headline/driver contract is the default bs=4)")
+    ap.add_argument("--skip-secondary", action="store_true",
+                    help="print only the JSON line")
+    args = ap.parse_args()
+
     from gan_aug_pfa_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
@@ -127,11 +139,15 @@ def main() -> None:
     # params and eval forward as the reference's two-pass form — see
     # models/siamese_unet.py).  The parity-exact two-pass number follows
     # on stderr.
-    siamese_ips, ms_step, loss = bench_siamese(batched_encoder=True)
+    siamese_ips, ms_step, loss = bench_siamese(
+        batched_encoder=True, batch_size=args.batch_size
+    )
     print(
         json.dumps(
             {
-                "metric": "siamese_train_throughput_bs4_128px",
+                "metric": (
+                    f"siamese_train_throughput_bs{args.batch_size}_128px"
+                ),
                 "value": round(siamese_ips, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(siamese_ips / TORCH_CPU_SIAMESE_IPS, 2),
@@ -139,13 +155,16 @@ def main() -> None:
         )
     )
     print(
-        f"# siamese: {ms_step:.2f} ms/step (bs=4 @128px, epoch-scan path, "
-        f"batched encoder), loss={loss:.4f}, "
+        f"# siamese: {ms_step:.2f} ms/step (bs={args.batch_size} @128px, "
+        f"epoch-scan path, batched encoder), loss={loss:.4f}, "
         f"baseline={TORCH_CPU_SIAMESE_IPS} img/s (torch-cpu)",
         file=sys.stderr,
     )
+    if args.skip_secondary:
+        return
     try:
-        ips2, ms2, _ = bench_siamese(batched_encoder=False)
+        ips2, ms2, _ = bench_siamese(batched_encoder=False,
+                                     batch_size=args.batch_size)
         print(
             f"# siamese (reference-parity two-pass encoder): {ips2:.2f} "
             f"img/s, {ms2:.2f} ms/step",

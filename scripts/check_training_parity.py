@@ -155,7 +155,7 @@ def run_lockstep(steps: int = 12, size: int = 64):
     print(f"lockstep parity OK (max per-step diff {worst:.2e})")
 
 
-def run_full(root_dir: str, epochs: int = 50):
+def run_full(root_dir: str, epochs: int = 50, seed: int = 0):
     import torch
 
     import jax.numpy as jnp
@@ -175,7 +175,10 @@ def run_full(root_dir: str, epochs: int = 50):
     train_ds = build_cached_dataset(tr, (128, 128), verbose=False)
     eval_ds = build_cached_dataset(ev, (128, 128), verbose=False)
 
-    tm, params, stats = build_models()
+    # One "seed pair" = one shared init (ported torch init at `seed`) plus
+    # the batch-order stream derived from the same seed; both sides see
+    # identical weights and batches, so the delta isolates framework math.
+    tm, params, stats = build_models(seed)
     jm = SiameseUNet(3, 1)
     tx = optax.adamw(LR, weight_decay=WD)
     opt_state = tx.init(params)
@@ -183,7 +186,7 @@ def run_full(root_dir: str, epochs: int = 50):
     jstep = make_jax_step(jm, tx)
 
     n = len(train_ds)
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(seed)
     t0 = time.time()
     tm.train()
     for epoch in range(epochs):
@@ -238,13 +241,30 @@ def main():
     ap.add_argument("--root-dir", type=str, default=None)
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--seeds", type=str, default="0",
+                    help="comma-separated init/batch-order seeds for --full; "
+                    "with several, prints per-seed tables plus mean/min/max "
+                    "relative deltas (the PARITY.md 1b multi-seed evidence)")
     args = ap.parse_args()
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # f32 CPU on both sides
     if args.full:
         assert args.root_dir, "--full requires --root-dir"
-        run_full(args.root_dir, args.epochs)
+        seeds = [int(s) for s in args.seeds.split(",")]
+        results = []
+        for seed in seeds:
+            print(f"=== seed pair {seed} ===", flush=True)
+            results.append(run_full(args.root_dir, args.epochs, seed=seed))
+        if len(results) > 1:
+            keys = ("accuracy", "precision", "recall", "f1", "iou")
+            print("\n| metric | mean rel. delta | min | max | torch mean |")
+            print("|---|---|---|---|---|")
+            for k in keys:
+                rel = [(jm[k] - tm[k]) / tm[k] for tm, jm in results]
+                tms = [tm[k] for tm, _ in results]
+                print(f"| {k} | {np.mean(rel):+.2%} | {min(rel):+.2%} | "
+                      f"{max(rel):+.2%} | {np.mean(tms):.4f} |", flush=True)
     else:
         run_lockstep(steps=args.steps)
 

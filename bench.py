@@ -29,7 +29,8 @@ TORCH_CPU_SIAMESE_IPS = 0.5819
 TORCH_CPU_GAN_IPS = 0.597
 
 
-def bench_siamese(batched_encoder: bool = True, batch_size: int = 4):
+def bench_siamese(batched_encoder: bool = True, batch_size: int = 4,
+                  momentum_dtype: str | None = None):
     import numpy as np
     import jax
 
@@ -38,7 +39,8 @@ def bench_siamese(batched_encoder: bool = True, batch_size: int = 4):
 
     cfg = SiameseTrainConfig(batch_size=batch_size,
                              compute_dtype="bfloat16",
-                             batched_encoder=batched_encoder)
+                             batched_encoder=batched_encoder,
+                             opt_momentum_dtype=momentum_dtype)
     trainer = SiameseTrainer(cfg, augment=False)
     state = trainer.init_state(jax.random.PRNGKey(0), (128, 128))
 
@@ -130,6 +132,10 @@ def main() -> None:
                          "headline/driver contract is the default bs=4)")
     ap.add_argument("--skip-secondary", action="store_true",
                     help="print only the JSON line")
+    ap.add_argument("--momentum-dtype", type=str, default=None,
+                    choices=["bfloat16", "float32"],
+                    help="[extension] Adam first-moment dtype A/B knob "
+                         "(see train/optim.py; default param dtype)")
     args = ap.parse_args()
 
     from gan_aug_pfa_tpu.utils.compile_cache import enable_compile_cache
@@ -140,7 +146,8 @@ def main() -> None:
     # models/siamese_unet.py).  The parity-exact two-pass number follows
     # on stderr.
     siamese_ips, ms_step, loss = bench_siamese(
-        batched_encoder=True, batch_size=args.batch_size
+        batched_encoder=True, batch_size=args.batch_size,
+        momentum_dtype=args.momentum_dtype,
     )
     print(
         json.dumps(

@@ -85,6 +85,11 @@ class SiameseTrainConfig:
     # train-mode BN uses joint batch stats over both images — eval forward
     # and the param tree are identical to the reference's two-pass form).
     batched_encoder: bool = False
+    # Keep Adam's first-moment accumulator in this dtype (None = param
+    # dtype, torch-exact).  "bfloat16" halves one of the three optimizer
+    # state tensors' HBM traffic (the update is bandwidth-bound) at the
+    # cost of momentum rounding — an opt-in deviation.
+    opt_momentum_dtype: Optional[str] = None
     # Keep decoder skip-concats as slice tuples consumed by kernel-sliced
     # convs (models/blocks.SlicedConv) — no HBM concatenates; numerically
     # equal to the default path up to fp reassociation.
@@ -118,6 +123,8 @@ class GANTrainConfig:
     # BN batch stats then mix real and fake activations — a known GAN
     # behavior change vs the reference's two sequential passes, so opt-in.
     batched_disc: bool = False
+    # See SiameseTrainConfig.opt_momentum_dtype.
+    opt_momentum_dtype: Optional[str] = None
     profile_dir: Optional[str] = None
     debug_nans: bool = False
 

@@ -53,10 +53,12 @@ class GANTrainer:
         self.generator = UNetGenerator(input_nc=nc, output_nc=nc, dtype=dtype)
         self.discriminator = NLayerDiscriminator(input_nc=nc * 2, dtype=dtype)
         self.tx_g = make_optimizer(
-            "adam", config.learning_rate_g, b1=config.beta1
+            "adam", config.learning_rate_g, b1=config.beta1,
+            mu_dtype=config.opt_momentum_dtype,
         )
         self.tx_d = make_optimizer(
-            "adam", config.learning_rate_d, b1=config.beta1
+            "adam", config.learning_rate_d, b1=config.beta1,
+            mu_dtype=config.opt_momentum_dtype,
         )
 
     def init_states(self, rng: jax.Array) -> Tuple[GANState, GANState]:

@@ -22,12 +22,18 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    mu_dtype: str | None = None,
 ) -> optax.GradientTransformation:
+    """mu_dtype: dtype for the first-moment accumulator (e.g. "bfloat16").
+    None keeps the torch-exact default (momentum in the param dtype).  A
+    bf16 momentum halves one of the optimizer's three HBM-resident state
+    tensors — the Adam update is bandwidth-bound on TPU — at the cost of
+    momentum rounding, so it is an opt-in deviation."""
     name = name.lower()
     if name == "adamw":
         return optax.inject_hyperparams(optax.adamw)(
             learning_rate=learning_rate, b1=b1, b2=b2, eps=eps,
-            weight_decay=weight_decay,
+            weight_decay=weight_decay, mu_dtype=mu_dtype,
         )
     if name == "adam":
 
@@ -37,7 +43,7 @@ def make_optimizer(
             # hyperparam is traced under inject_hyperparams, so no branching).
             return optax.chain(
                 optax.add_decayed_weights(weight_decay),
-                optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+                optax.scale_by_adam(b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype),
                 optax.scale_by_learning_rate(learning_rate),
             )
 

@@ -79,7 +79,8 @@ class SiameseTrainer:
             concat_free=config.concat_free,
         )
         self.tx = make_optimizer(
-            config.optimizer, config.learning_rate, config.weight_decay
+            config.optimizer, config.learning_rate, config.weight_decay,
+            mu_dtype=config.opt_momentum_dtype,
         )
         self._loss_kwargs = dict(
             beta=config.loss_beta,

@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-compile-cache", action="store_true",
                    help="[extension] disable the persistent XLA compilation "
                         "cache (utils/compile_cache.py)")
+    p.add_argument("--momentum-dtype", type=str, default=None,
+                   choices=["bfloat16", "float32"],
+                   help="[extension] dtype for Adam's first-moment state "
+                        "(default: param dtype, torch-exact; bfloat16 "
+                        "halves one optimizer state tensor's HBM traffic)")
     return p
 
 
@@ -141,6 +146,7 @@ def main() -> None:
         pallas_augment=args.pallas_augment,
         batched_encoder=args.batched_encoder,
         concat_free=args.concat_free,
+        opt_momentum_dtype=args.momentum_dtype,
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,
     )

@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable the jax_debug_nans numeric sanitizer")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="[extension] disable the persistent XLA compilation cache")
+    p.add_argument("--momentum-dtype", type=str, default=None,
+                   choices=["bfloat16", "float32"],
+                   help="[extension] dtype for Adam's first-moment state "
+                        "(default: param dtype, torch-exact)")
     return p
 
 
@@ -81,6 +85,7 @@ def main() -> None:
         data_parallel=not args.no_data_parallel,
         resume=args.resume,
         batched_disc=args.batched_disc,
+        opt_momentum_dtype=args.momentum_dtype,
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,
     )

@@ -87,14 +87,15 @@ def bench_siamese(batched_encoder: bool = True, batch_size: int = 4,
     return images_per_sec, ms_per_step, last
 
 
-def bench_gan():
+def bench_gan(concat_free_disc: bool = False):
     import numpy as np
     import jax
 
     from gan_aug_pfa_tpu.config import GANTrainConfig
     from gan_aug_pfa_tpu.train import GANTrainer
 
-    cfg = GANTrainConfig(batch_size=1, compute_dtype="bfloat16")
+    cfg = GANTrainConfig(batch_size=1, compute_dtype="bfloat16",
+                         concat_free_disc=concat_free_disc)
     trainer = GANTrainer(cfg)
     sg, sd = trainer.init_states(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
@@ -136,6 +137,9 @@ def main() -> None:
                     choices=["bfloat16", "float32"],
                     help="[extension] Adam first-moment dtype A/B knob "
                          "(see train/optim.py; default param dtype)")
+    ap.add_argument("--gan-concat-free", action="store_true",
+                    help="[extension] A/B knob: run the GAN bench with "
+                         "concat_free_disc (split-kernel D first conv)")
     args = ap.parse_args()
 
     from gan_aug_pfa_tpu.utils.compile_cache import enable_compile_cache
@@ -180,7 +184,9 @@ def main() -> None:
     except Exception as e:
         print(f"# two-pass bench skipped: {e}", file=sys.stderr)
     try:
-        gan_ips, gan_ms, ld, lg = bench_gan()
+        gan_ips, gan_ms, ld, lg = bench_gan(
+            concat_free_disc=args.gan_concat_free
+        )
         print(
             f"# gan: {gan_ips:.2f} img/s, {gan_ms:.2f} ms/step (bs=1 "
             f"@256px, D+G), loss_d={ld:.3f}, loss_g={lg:.3f}, "

@@ -123,6 +123,11 @@ class GANTrainConfig:
     # BN batch stats then mix real and fake activations — a known GAN
     # behavior change vs the reference's two sequential passes, so opt-in.
     batched_disc: bool = False
+    # Feed the discriminator (A, B) as a pair: its first conv runs as a
+    # split-kernel sum instead of conv(concat([A, B], channel)) — exact up
+    # to fp reassociation, no 6-channel HBM concat (the GAN step's device
+    # profile showed ~21% layout copies).  Param tree unchanged.
+    concat_free_disc: bool = False
     # See SiameseTrainConfig.opt_momentum_dtype.
     opt_momentum_dtype: Optional[str] = None
     profile_dir: Optional[str] = None

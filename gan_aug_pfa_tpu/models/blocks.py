@@ -91,6 +91,7 @@ class SlicedConv(nn.Module):
 
     features: int
     kernel: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
     padding: Any = "SAME"
     use_bias: bool = True
     bias_fan_in: int | None = None
@@ -116,7 +117,7 @@ class SlicedConv(nn.Module):
                 self.dtype
             )
             y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), kk, (1, 1), pad,
+                x.astype(self.dtype), kk, tuple(self.strides), pad,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             out = y if out is None else out + y

@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .blocks import batch_norm, conv, torch_kernel_init
+from .blocks import SlicedConv, batch_norm, conv, torch_kernel_init
 
 Dtype = Any
 
@@ -149,12 +149,24 @@ class NLayerDiscriminator(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = x.astype(self.dtype)
-        x = conv(
-            self.ndf, (4, 4), strides=(2, 2), padding=1, use_bias=True,
-            in_features=self.input_nc, dtype=self.dtype, name="conv0",
-        )(x)
+    def __call__(self, x, train: bool = False) -> jnp.ndarray:
+        if isinstance(x, (tuple, list)):
+            # Concat-free pair input (A, B): the first conv runs as a
+            # split-kernel sum instead of materializing concat([A, B],
+            # channel) in HBM — exact up to fp reassociation, and the
+            # param tree ('conv0': kernel (4,4,6,64) + bias) is identical
+            # to the nn.Conv branch (SlicedConv docstring in blocks.py).
+            x = SlicedConv(
+                self.ndf, kernel=(4, 4), strides=(2, 2), padding=1,
+                use_bias=True, bias_fan_in=self.input_nc,
+                dtype=self.dtype, name="conv0",
+            )(tuple(v.astype(self.dtype) for v in x))
+        else:
+            x = x.astype(self.dtype)
+            x = conv(
+                self.ndf, (4, 4), strides=(2, 2), padding=1, use_bias=True,
+                in_features=self.input_nc, dtype=self.dtype, name="conv0",
+            )(x)
         x = nn.leaky_relu(x, 0.2)
         nf = 1
         for n in range(1, self.n_layers):

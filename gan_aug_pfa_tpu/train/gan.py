@@ -97,7 +97,12 @@ class GANTrainer:
         return out, batch_stats
 
     def _disc_apply(self, params, batch_stats, a, b, train: bool):
-        x = jnp.concatenate([a, b], axis=-1)
+        if self.config.concat_free_disc:
+            # Pair input: D's first conv runs as a split-kernel sum, no
+            # 6-channel concat materialized in HBM (models/pix2pix.py).
+            x = (a, b)
+        else:
+            x = jnp.concatenate([a, b], axis=-1)
         if train:
             out, mut = self.discriminator.apply(
                 {"params": params, "batch_stats": batch_stats}, x,

@@ -148,3 +148,37 @@ def test_gan_trainer_batched_disc_smoke():
     )
     sg, sd, ld, lg = tr.train_epoch(sg, sd, ds, 4, np.random.RandomState(0))
     assert np.isfinite(ld) and np.isfinite(lg)
+
+
+@pytest.mark.slow
+def test_gan_trainer_concat_free_disc_equivalence():
+    """concat_free_disc=True reproduces the default path's epoch losses to
+    fp reassociation noise (the D first conv is a split-kernel sum — no
+    behavior change, unlike batched_disc)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gan_aug_pfa_tpu.config import GANTrainConfig
+    from gan_aug_pfa_tpu.train import GANTrainer
+
+    rng = np.random.RandomState(0)
+    ds = tuple(
+        jnp.asarray(rng.rand(4, 128, 128, 3).astype(np.float32))
+        for _ in range(2)
+    )
+    results = []
+    for flag in (False, True):
+        cfg = GANTrainConfig(
+            batch_size=2, compute_dtype="float32", target_size=(128, 128),
+            data_parallel=False, concat_free_disc=flag,
+        )
+        tr = GANTrainer(cfg)
+        sg, sd = tr.init_states(jax.random.PRNGKey(0))
+        sg, sd, ld, lg = tr.train_epoch(
+            sg, sd, ds, 4, np.random.RandomState(0)
+        )
+        results.append((float(ld), float(lg)))
+    (ld0, lg0), (ld1, lg1) = results
+    np.testing.assert_allclose(ld1, ld0, rtol=2e-4)
+    np.testing.assert_allclose(lg1, lg0, rtol=2e-4)

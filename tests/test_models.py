@@ -65,6 +65,36 @@ def test_discriminator_param_count_and_patch_shape(rng):
     assert out.shape == (1, 30, 30, 1)
 
 
+def test_discriminator_pair_input_equivalence(rng):
+    """Concat-free pair input (A, B): identical param tree to the concat
+    path, and patch logits match to fp reassociation noise (the first conv
+    runs as a split-kernel sum — models/pix2pix.py)."""
+    import numpy as np
+
+    d = NLayerDiscriminator(input_nc=6)
+    r = np.random.RandomState(0)
+    a = jnp.asarray(r.rand(2, 64, 64, 3).astype(np.float32))
+    b = jnp.asarray(r.rand(2, 64, 64, 3).astype(np.float32))
+    x = jnp.concatenate([a, b], axis=-1)
+    v = d.init(rng, x, train=False)
+    v_pair = d.init(rng, (a, b), train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        v_pair
+    )
+    for p, q in zip(jax.tree_util.tree_leaves(v),
+                    jax.tree_util.tree_leaves(v_pair)):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(q))
+
+    out = d.apply(v, x, train=False)
+    out_pair = d.apply(v, (a, b), train=False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_pair), atol=2e-5
+    )
+    ot, _ = d.apply(v, x, train=True, mutable=["batch_stats"])
+    opt_, _ = d.apply(v, (a, b), train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(ot), np.asarray(opt_), atol=2e-4)
+
+
 def test_siamese_shared_encoder_is_symmetric(rng):
     """Swapping inputs must swap which branch sees what, with identical
     encoder weights (weight sharing is structural)."""

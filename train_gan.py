@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batched-disc", action="store_true",
                    help="one 2B discriminator pass over [real|fake] (~8%% "
                         "faster; D's BN batch stats mix real and fake)")
+    p.add_argument("--concat-free-disc", action="store_true",
+                   help="[extension] feed D the (A,B) pair; first conv "
+                        "runs as a split-kernel sum, skipping the "
+                        "6-channel HBM concat (numerically equivalent)")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace + per-step timing stats")
     p.add_argument("--debug-nans", action="store_true",
@@ -85,6 +89,7 @@ def main() -> None:
         data_parallel=not args.no_data_parallel,
         resume=args.resume,
         batched_disc=args.batched_disc,
+        concat_free_disc=args.concat_free_disc,
         opt_momentum_dtype=args.momentum_dtype,
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,

@@ -30,7 +30,8 @@ TORCH_CPU_GAN_IPS = 0.597
 
 
 def bench_siamese(batched_encoder: bool = True, batch_size: int = 4,
-                  momentum_dtype: str | None = None):
+                  momentum_dtype: str | None = None,
+                  flat_opt_state: bool = False):
     import numpy as np
     import jax
 
@@ -40,7 +41,8 @@ def bench_siamese(batched_encoder: bool = True, batch_size: int = 4,
     cfg = SiameseTrainConfig(batch_size=batch_size,
                              compute_dtype="bfloat16",
                              batched_encoder=batched_encoder,
-                             opt_momentum_dtype=momentum_dtype)
+                             opt_momentum_dtype=momentum_dtype,
+                             opt_flat_state=flat_opt_state)
     trainer = SiameseTrainer(cfg, augment=False)
     state = trainer.init_state(jax.random.PRNGKey(0), (128, 128))
 
@@ -140,6 +142,9 @@ def main() -> None:
     ap.add_argument("--gan-concat-free", action="store_true",
                     help="[extension] A/B knob: run the GAN bench with "
                          "concat_free_disc (split-kernel D first conv)")
+    ap.add_argument("--flat-opt-state", action="store_true",
+                    help="[extension] A/B knob: optimizer update on one "
+                         "concatenated vector (optax.flatten)")
     args = ap.parse_args()
 
     from gan_aug_pfa_tpu.utils.compile_cache import enable_compile_cache
@@ -152,6 +157,7 @@ def main() -> None:
     siamese_ips, ms_step, loss = bench_siamese(
         batched_encoder=True, batch_size=args.batch_size,
         momentum_dtype=args.momentum_dtype,
+        flat_opt_state=args.flat_opt_state,
     )
     print(
         json.dumps(

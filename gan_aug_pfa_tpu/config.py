@@ -90,6 +90,11 @@ class SiameseTrainConfig:
     # state tensors' HBM traffic (the update is bandwidth-bound) at the
     # cost of momentum rounding — an opt-in deviation.
     opt_momentum_dtype: Optional[str] = None
+    # Run the optimizer update on one concatenated vector (optax.flatten):
+    # moment buffers become 2 large arrays instead of ~200 small ones
+    # (see train/optim.py).  Same per-element arithmetic; changes the
+    # optimizer-state checkpoint layout, so opt-in.
+    opt_flat_state: bool = False
     # Keep decoder skip-concats as slice tuples consumed by kernel-sliced
     # convs (models/blocks.SlicedConv) — no HBM concatenates; numerically
     # equal to the default path up to fp reassociation.
@@ -128,8 +133,9 @@ class GANTrainConfig:
     # to fp reassociation, no 6-channel HBM concat (the GAN step's device
     # profile showed ~21% layout copies).  Param tree unchanged.
     concat_free_disc: bool = False
-    # See SiameseTrainConfig.opt_momentum_dtype.
+    # See SiameseTrainConfig.opt_momentum_dtype / opt_flat_state.
     opt_momentum_dtype: Optional[str] = None
+    opt_flat_state: bool = False
     profile_dir: Optional[str] = None
     debug_nans: bool = False
 

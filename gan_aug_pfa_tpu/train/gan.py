@@ -55,10 +55,12 @@ class GANTrainer:
         self.tx_g = make_optimizer(
             "adam", config.learning_rate_g, b1=config.beta1,
             mu_dtype=config.opt_momentum_dtype,
+            flat_state=config.opt_flat_state,
         )
         self.tx_d = make_optimizer(
             "adam", config.learning_rate_d, b1=config.beta1,
             mu_dtype=config.opt_momentum_dtype,
+            flat_state=config.opt_flat_state,
         )
 
     def init_states(self, rng: jax.Array) -> Tuple[GANState, GANState]:

@@ -23,19 +23,28 @@ def make_optimizer(
     b2: float = 0.999,
     eps: float = 1e-8,
     mu_dtype: str | None = None,
+    flat_state: bool = False,
 ) -> optax.GradientTransformation:
     """mu_dtype: dtype for the first-moment accumulator (e.g. "bfloat16").
     None keeps the torch-exact default (momentum in the param dtype).  A
     bf16 momentum halves one of the optimizer's three HBM-resident state
     tensors — the Adam update is bandwidth-bound on TPU — at the cost of
-    momentum rounding, so it is an opt-in deviation."""
+    momentum rounding, so it is an opt-in deviation.
+
+    flat_state: run the update on ONE concatenated vector (optax.flatten)
+    instead of per-leaf tree_map — the moment buffers become two large
+    arrays rather than ~200 small ones, collapsing the per-leaf copy and
+    fusion overhead a scan-carried state tree causes on TPU, at the cost
+    of one ravel/unravel of the gradients per step.  Same arithmetic per
+    element; opt-in because the optimizer-state checkpoint layout changes
+    (resume remains self-consistent either way)."""
     name = name.lower()
     if name == "adamw":
-        return optax.inject_hyperparams(optax.adamw)(
+        tx = optax.inject_hyperparams(optax.adamw)(
             learning_rate=learning_rate, b1=b1, b2=b2, eps=eps,
             weight_decay=weight_decay, mu_dtype=mu_dtype,
         )
-    if name == "adam":
+    elif name == "adam":
 
         def torch_adam(learning_rate, weight_decay=0.0):
             # add_decayed_weights BEFORE the moment update == torch Adam's
@@ -47,10 +56,16 @@ def make_optimizer(
                 optax.scale_by_learning_rate(learning_rate),
             )
 
-        return optax.inject_hyperparams(torch_adam)(
+        tx = optax.inject_hyperparams(torch_adam)(
             learning_rate=learning_rate, weight_decay=weight_decay
         )
-    raise ValueError(f"Unknown optimizer: {name}")
+    else:
+        raise ValueError(f"Unknown optimizer: {name}")
+    if flat_state:
+        # flatten() wraps update/init but passes the inner state through
+        # unchanged, so set_learning_rate's hyperparams access still works.
+        tx = optax.flatten(tx)
+    return tx
 
 
 def set_learning_rate(opt_state, lr: float):

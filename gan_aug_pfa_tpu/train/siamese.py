@@ -81,6 +81,7 @@ class SiameseTrainer:
         self.tx = make_optimizer(
             config.optimizer, config.learning_rate, config.weight_decay,
             mu_dtype=config.opt_momentum_dtype,
+            flat_state=config.opt_flat_state,
         )
         self._loss_kwargs = dict(
             beta=config.loss_beta,

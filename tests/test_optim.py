@@ -53,6 +53,56 @@ def test_bf16_momentum_dtype(name):
         assert leaf.dtype == jnp.bfloat16
 
 
+@pytest.mark.parametrize("name", ["adam", "adamw"])
+def test_flat_state_update_equivalence(name):
+    """flat_state=True (optax.flatten) produces the SAME parameter updates
+    as the per-leaf path — the arithmetic is identical, only the state
+    layout changes (two concatenated moment vectors)."""
+    params = _params()
+    tx_tree = make_optimizer(name, 1e-3, weight_decay=1e-2)
+    tx_flat = make_optimizer(name, 1e-3, weight_decay=1e-2, flat_state=True)
+    st, sf = tx_tree.init(params), tx_flat.init(params)
+    key = jax.random.PRNGKey(1)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        grads = {
+            "w": jax.random.normal(sub, (4, 4), jnp.float32),
+            "b": jax.random.normal(sub, (4,), jnp.float32),
+        }
+        ut, st = tx_tree.update(grads, st, params)
+        uf, sf = tx_flat.update(grads, sf, params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ut), jax.tree_util.tree_leaves(uf)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+            )
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, ut)
+
+
+def test_flat_state_keeps_hyperparams_access():
+    """set_learning_rate/get_learning_rate (the plateau scheduler's device
+    hook) still work under flat_state — flatten passes the inner
+    InjectHyperparamsState through unchanged."""
+    from gan_aug_pfa_tpu.train.optim import (
+        get_learning_rate,
+        set_learning_rate,
+    )
+
+    tx = make_optimizer("adamw", 1e-3, weight_decay=1e-2, flat_state=True)
+    state = tx.init(_params())
+    assert abs(get_learning_rate(state) - 1e-3) < 1e-9  # fp32 storage
+    state = set_learning_rate(state, 5e-4)
+    assert abs(get_learning_rate(state) - 5e-4) < 1e-9
+    # the rewritten LR actually feeds the next update
+    grads = jax.tree_util.tree_map(jnp.ones_like, _params())
+    updates, _ = tx.update(grads, state, _params())
+    assert all(
+        bool(jnp.all(jnp.isfinite(u)))
+        for u in jax.tree_util.tree_leaves(updates)
+    )
+
+
 def test_bf16_momentum_updates_stay_close():
     """A few steps of bf16-momentum Adam track fp32-momentum Adam to bf16
     rounding error (the deviation is bounded, not a behavior change)."""

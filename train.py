@@ -102,6 +102,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="[extension] dtype for Adam's first-moment state "
                         "(default: param dtype, torch-exact; bfloat16 "
                         "halves one optimizer state tensor's HBM traffic)")
+    p.add_argument("--flat-opt-state", action="store_true",
+                   help="[extension] run the optimizer update on one "
+                        "concatenated vector (optax.flatten): 2 large "
+                        "moment buffers instead of ~200 small ones; same "
+                        "arithmetic, different opt-state checkpoint layout")
     return p
 
 
@@ -147,6 +152,7 @@ def main() -> None:
         batched_encoder=args.batched_encoder,
         concat_free=args.concat_free,
         opt_momentum_dtype=args.momentum_dtype,
+        opt_flat_state=args.flat_opt_state,
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,
     )

@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"],
                    help="[extension] dtype for Adam's first-moment state "
                         "(default: param dtype, torch-exact)")
+    p.add_argument("--flat-opt-state", action="store_true",
+                   help="[extension] optimizer update on one concatenated "
+                        "vector (optax.flatten; see train.py --help)")
     return p
 
 
@@ -91,6 +94,7 @@ def main() -> None:
         batched_disc=args.batched_disc,
         concat_free_disc=args.concat_free_disc,
         opt_momentum_dtype=args.momentum_dtype,
+        opt_flat_state=args.flat_opt_state,
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,
     )

@@ -95,6 +95,14 @@ class SiameseTrainConfig:
     # (see train/optim.py).  Same per-element arithmetic; changes the
     # optimizer-state checkpoint layout, so opt-in.
     opt_flat_state: bool = False
+    # Keep the best model as a device-HBM snapshot and write
+    # best_model.msgpack only on the save_every cadence / at the end,
+    # instead of pulling the full fp32 param tree to host on every
+    # improving epoch (the reference writes best_model.pth per
+    # improvement, train.py:307-313).  Big wall-clock win on slow
+    # device links; the file lags the true best by <save_every epochs
+    # if training crashes mid-interval, hence opt-in.
+    defer_best_ckpt: bool = False
     # Keep decoder skip-concats as slice tuples consumed by kernel-sliced
     # convs (models/blocks.SlicedConv) — no HBM concatenates; numerically
     # equal to the default path up to fp reassociation.

@@ -23,9 +23,11 @@ from __future__ import annotations
 import contextlib
 import os
 import time
+from types import SimpleNamespace
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from . import checkpoint as ckpt
@@ -173,6 +175,7 @@ def _run_siamese_epochs(
     dev_train, dev_val, train_ds, val_ds, epoch_rng, rng,
     checkpoint_dir, history, verbose,
 ):
+    best_snapshot = None  # device-resident best model (defer_best_ckpt)
     for epoch in range(start_epoch, train_cfg.num_epochs + 1):
         lr_now = get_learning_rate(state.opt_state)
         if verbose:
@@ -200,18 +203,57 @@ def _run_siamese_epochs(
             )
         if val_loss < best_val_loss:
             best_val_loss = val_loss
+            if train_cfg.defer_best_ckpt:
+                # Keep the best model ON DEVICE (an HBM copy — the live
+                # state's buffers are donated into the next epoch's scan)
+                # and materialize best_model.msgpack on the save_every
+                # cadence / at the end.  Early training improves nearly
+                # every epoch, and each host pull is the full fp32 param
+                # tree (~165 MB) — on slow device links (the dev tunnel
+                # moves ~30 MB/s) those pulls dominate wall clock.
+                best_snapshot = {
+                    "params": jax.tree.map(jnp.copy, state.params),
+                    "batch_stats": jax.tree.map(jnp.copy, state.batch_stats),
+                    "extra": {"epoch": epoch, "val_loss": val_loss},
+                }
+                if verbose:
+                    print(
+                        f"Best model snapshotted on device (Val Loss: "
+                        f"{best_val_loss:.4f})"
+                    )
+            else:
+                path = os.path.join(
+                    checkpoint_dir, ckpt.checkpoint_name("best_model")
+                )
+                ckpt.save_checkpoint(
+                    path, state,
+                    extra={"epoch": epoch, "val_loss": val_loss},
+                    model_only=True,
+                )
+                if verbose:
+                    print(
+                        f"Best model saved to {path} (Val Loss: "
+                        f"{best_val_loss:.4f})"
+                    )
+        if train_cfg.defer_best_ckpt and best_snapshot is not None and (
+            epoch % train_cfg.save_every == 0
+            or epoch == train_cfg.num_epochs
+        ):
             path = os.path.join(
                 checkpoint_dir, ckpt.checkpoint_name("best_model")
             )
             ckpt.save_checkpoint(
-                path, state, extra={"epoch": epoch, "val_loss": val_loss},
-                model_only=True,
+                path,
+                SimpleNamespace(
+                    params=best_snapshot["params"],
+                    batch_stats=best_snapshot["batch_stats"],
+                    opt_state=(), step=0,
+                ),
+                extra=best_snapshot["extra"], model_only=True,
             )
+            best_snapshot = None
             if verbose:
-                print(
-                    f"Best model saved to {path} (Val Loss: "
-                    f"{best_val_loss:.4f})"
-                )
+                print(f"Best model saved to {path} (deferred write)")
         if epoch % train_cfg.save_every == 0:
             path = os.path.join(
                 checkpoint_dir, ckpt.checkpoint_name(f"model_epoch_{epoch}")

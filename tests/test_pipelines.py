@@ -256,6 +256,32 @@ def test_model_only_checkpoint_roundtrip(tmp_path):
     assert jnp.allclose(a, b)
 
 
+def test_siamese_training_defer_best_ckpt(synthetic_corpus):
+    """defer_best_ckpt=True: best_model.msgpack is written on the
+    save_every cadence from the device-HBM snapshot and records the true
+    best epoch's val loss (no per-improvement host pulls)."""
+    from flax import serialization
+
+    workdir, _ = synthetic_corpus
+    cfg = SiameseTrainConfig(
+        batch_size=2, num_epochs=3, compute_dtype="float32",
+        save_every=2, data_parallel=False, seed=0,
+        defer_best_ckpt=True, checkpoint_dir="siamese_defer_ckpt",
+    )
+    hist = pipelines.run_siamese_training(
+        _data_cfg(workdir, use_synthetic=False), cfg, verbose=False
+    )
+    path = os.path.join(workdir, "siamese_defer_ckpt", "best_model.msgpack")
+    assert os.path.exists(path)
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    # The deferred write preserves WHICH epoch was best, not just the last.
+    assert payload["extra"]["val_loss"] == pytest.approx(
+        min(hist["val_loss"]), rel=1e-6
+    )
+    assert "params" in payload and "batch_stats" in payload
+
+
 def test_siamese_training_fast_path_flags(synthetic_corpus):
     """The perf opt-ins (batched_encoder + concat_free) run the full
     training pipeline end to end and produce finite losses and the same

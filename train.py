@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "concatenated vector (optax.flatten): 2 large "
                         "moment buffers instead of ~200 small ones; same "
                         "arithmetic, different opt-state checkpoint layout")
+    p.add_argument("--defer-best-ckpt", action="store_true",
+                   help="[extension] keep the best model as a device-HBM "
+                        "snapshot; write best_model.msgpack on the "
+                        "save-every cadence instead of every improving "
+                        "epoch (avoids ~165 MB device->host pulls per "
+                        "improvement on slow links)")
     return p
 
 
@@ -153,6 +159,7 @@ def main() -> None:
         concat_free=args.concat_free,
         opt_momentum_dtype=args.momentum_dtype,
         opt_flat_state=args.flat_opt_state,
+        defer_best_ckpt=args.defer_best_ckpt,
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,
     )

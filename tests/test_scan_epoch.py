@@ -58,3 +58,16 @@ def test_scan_on_mesh_with_partial_batch():
     mesh = make_mesh(4, axis_names=("data",))
     loss, val = _run_epoch(mesh, use_timer=False)
     assert np.isfinite(loss) and np.isfinite(val)
+
+
+def test_scan_on_mesh_matches_single_device():
+    """Data-parallel training over a 4-device mesh is the SAME math as
+    single-device: the batch shards across the 'data' axis and XLA's SPMD
+    partitioner inserts the cross-device reductions (global BN batch stats,
+    summed grads), so an identical seed run lands on the same losses up to
+    collective reassociation."""
+    single_loss, single_val = _run_epoch(None, use_timer=False)
+    mesh = make_mesh(4, axis_names=("data",))
+    mesh_loss, mesh_val = _run_epoch(mesh, use_timer=False)
+    assert mesh_loss == pytest.approx(single_loss, rel=2e-3)
+    assert mesh_val == pytest.approx(single_val, rel=2e-3)

@@ -194,15 +194,26 @@ def build_padded_native_dataset(
             i1 = native_loader.decode_rgb(s.img1).astype(np.float32) / 255.0
             i2 = native_loader.decode_rgb(s.img2).astype(np.float32) / 255.0
             if i1.shape != i2.shape:
-                raise ValueError(
-                    f"img1/img2 native sizes differ: {i1.shape} vs "
-                    f"{i2.shape}"
+                # Joint augmentation needs one canvas per pair.  KEEP the
+                # pair (the fixed-size cache keeps it too — each image is
+                # resized to target independently there): bring img2 to
+                # img1's native extent with the same bilinear resize the
+                # cache uses, and say so.
+                print(
+                    f"img1/img2 native sizes differ for {s.city} "
+                    f"({i1.shape} vs {i2.shape}); resizing img2 to "
+                    "img1's extent for native-resolution augmentation."
                 )
+                i2 = _resize_bilinear_np(i2, (i1.shape[0], i1.shape[1]))
             lb = None
             if s.label is not None:
                 lb = (native_loader.decode_gray(s.label) > 128).astype(
                     np.int32
                 )
+                if lb.shape != i1.shape[:2]:
+                    lb = _resize_nearest_np(
+                        lb, (i1.shape[0], i1.shape[1])
+                    )
             return i1, i2, lb
         except Exception as e:  # noqa: BLE001 — parity with reference skip
             print(f"Failed to load sample for city {s.city}: {e}. Skipping.")

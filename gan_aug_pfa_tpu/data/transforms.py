@@ -562,13 +562,23 @@ def resize_from_native_bilinear(img, h, w, out_size):
 
     def axis_pass(x, n, out_n, axis):
         n = jnp.asarray(n, jnp.int32)
-        src = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) * (
-            n / out_n
-        ) - 0.5
-        src = jnp.clip(src, 0.0, (n - 1).astype(jnp.float32))
-        lo = jnp.floor(src).astype(jnp.int32)
+        # src = (i+0.5)*n/out_n - 0.5 = (q - out_n)/(2*out_n) with
+        # q = (2i+1)*n.  floor and remainder in exact int32 arithmetic
+        # (values < 2^24 at these extents), so lo/hi match the host
+        # twin's float64 coordinates EXACTLY even when n/out_n is not
+        # f32-representable; only the fractional weight t pays one f32
+        # rounding.  A plain f32 src was observed to flip floor() at
+        # near-integer coordinates (e.g. 290->96).
+        i = jnp.arange(out_n, dtype=jnp.int32)
+        num = (2 * i + 1) * n - out_n
+        den = 2 * out_n
+        lo = jnp.floor_divide(num, den)
+        t = (num - lo * den).astype(jnp.float32) / den
+        # Host clip of src to [0, n-1]: below 0 -> lo=0, t=0; at or above
+        # n-1 -> lo=n-1, t=0.
+        t = jnp.where((lo < 0) | (lo >= n - 1), 0.0, t)
+        lo = jnp.clip(lo, 0, n - 1)
         hi = jnp.minimum(lo + 1, n - 1)
-        t = src - lo
         shape = [1] * x.ndim
         shape[axis] = out_n
         t = t.reshape(shape)

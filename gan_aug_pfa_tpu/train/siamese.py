@@ -67,6 +67,13 @@ class SiameseTrainer:
         self.native_out_size = (
             tuple(native_out_size) if native_out_size and augment else None
         )
+        if self.native_out_size is not None and config.pallas_augment:
+            # The fused Pallas photometric kernel is fixed-shape; the
+            # native path's dynamic per-sample extents can't use it.
+            print(
+                "--pallas-augment has no native-resolution variant; the "
+                "--native-aug path uses the XLA photometric ops instead."
+            )
         # Optional per-step profiler (utils/profiling.StepTimer), attached
         # by the pipeline when config.profile_dir is set.
         self.step_timer = None
@@ -146,11 +153,14 @@ class SiameseTrainer:
             dsl, dsz = dsl
             labels = jnp.take(dsl, idx, axis=0)
             sizes = jnp.take(dsz, idx, axis=0)
+            # Constrain BEFORE the augmentation (like the fixed-size
+            # branch) so the expensive native-extent warps run sharded
+            # across the data axis rather than replicated per device.
+            img1, img2, labels = self._constrain_spatial(img1, img2, labels)
             img1, img2, labels = augment_batch_native(
                 rng, img1, img2, labels, sizes, self.native_out_size,
                 self.aug_config,
             )
-            img1, img2, labels = self._constrain_spatial(img1, img2, labels)
         else:
             labels = jnp.take(dsl, idx, axis=0)
             img1, img2, labels = self._constrain_spatial(img1, img2, labels)

@@ -418,16 +418,28 @@ class Study:
             n_jobs = os.cpu_count() or 1
         if n_jobs < 1:
             raise ValueError(f"n_jobs must be >= 1 or -1, got {n_jobs}")
+        from concurrent.futures import FIRST_COMPLETED, wait
+
+        # Keep at most n_jobs trials in flight and re-check the timeout
+        # before every submission (real-optuna semantics: on timeout stop
+        # LAUNCHING trials; in-flight ones run to completion).  Submitting
+        # all n_trials up front would enqueue the full study in
+        # microseconds and make the timeout unenforceable.
         with ThreadPoolExecutor(max_workers=n_jobs) as pool:
-            futures = []
-            for _ in range(n_trials):
-                if timed_out():
+            pending = set()
+            submitted = 0
+            while True:
+                while (len(pending) < n_jobs and submitted < n_trials
+                       and not timed_out()):
+                    pending.add(
+                        pool.submit(self._run_one_trial, objective, catch)
+                    )
+                    submitted += 1
+                if not pending:
                     break
-                futures.append(
-                    pool.submit(self._run_one_trial, objective, catch)
-                )
-            for f in futures:
-                f.result()  # surface uncaught objective exceptions
+                done, pending = wait(pending, return_when=FIRST_COMPLETED)
+                for f in done:
+                    f.result()  # surface uncaught objective exceptions
 
 
 def _optuna_schema(db_path: str) -> bool:

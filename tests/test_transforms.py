@@ -235,16 +235,21 @@ def test_resize_from_native_matches_host_resize():
     )
 
     r = np.random.RandomState(2)
-    for (h, w), out in [((20, 30), (16, 16)), ((14, 9), (16, 16)),
-                        ((33, 17), (8, 24))]:
-        img = r.rand(40, 40, 3).astype(np.float32)
+    # (290, 173) -> 96: non-dyadic ratios where n/out_n is inexact in f32 —
+    # the device path must multiply before dividing to match the host's
+    # float64 coordinates.
+    for (h, w), out, buf in [((20, 30), (16, 16), 40),
+                             ((14, 9), (16, 16), 40),
+                             ((33, 17), (8, 24), 40),
+                             ((290, 173), (96, 96), 300)]:
+        img = r.rand(buf, buf, 3).astype(np.float32)
         got = np.asarray(resize_from_native_bilinear(
             jnp.asarray(img), h, w, out
         ))
         want = _resize_bilinear_np(img[:h, :w].copy(), out)
         np.testing.assert_allclose(got, want, atol=1e-5)
 
-        lab = (r.rand(40, 40) > 0.5).astype(np.int32)
+        lab = (r.rand(buf, buf) > 0.5).astype(np.int32)
         got_l = np.asarray(resize_from_native_nearest(
             jnp.asarray(lab), h, w, out
         ))
@@ -253,6 +258,38 @@ def test_resize_from_native_matches_host_resize():
 
 
 @pytest.mark.slow
+def test_padded_native_dataset_keeps_mismatched_pair(tmp_path):
+    """A pair whose img1/img2 native sizes differ is KEPT (img2 and label
+    are brought to img1's extent), matching the fixed-size cache path,
+    which also keeps such pairs — not silently dropped."""
+    from PIL import Image
+
+    from gan_aug_pfa_tpu.data.loader import build_padded_native_dataset
+    from gan_aug_pfa_tpu.data.scanner import Sample
+
+    r = np.random.RandomState(0)
+
+    def png(name, h, w, mode):
+        arr = (
+            (r.rand(h, w, 3) * 255).astype(np.uint8)
+            if mode == "RGB"
+            else (r.rand(h, w) > 0.5).astype(np.uint8) * 255
+        )
+        p = str(tmp_path / name)
+        Image.fromarray(arr, mode).save(p)
+        return p
+
+    s = Sample(
+        img1=png("a1.png", 24, 32, "RGB"),
+        img2=png("a2.png", 20, 28, "RGB"),  # differing native size
+        label=png("cm.png", 20, 28, "L"),   # matches img2, not img1
+        city="mismatch",
+    )
+    ds = build_padded_native_dataset([s], verbose=False)
+    assert len(ds) == 1  # kept, not skipped
+    assert tuple(ds.sizes[0].tolist()) == (24, 32)  # img1's extent rules
+
+
 def test_padded_native_dataset_and_trainer_step(oscd_tree):
     """End-to-end: build the padded native cache from the fixture tree and
     run one native-augment train step to target size."""

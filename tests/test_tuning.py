@@ -327,6 +327,33 @@ def test_optimize_n_jobs_parallel(tmp_path):
         study.optimize(obj, n_trials=1, n_jobs=0)
 
 
+def test_optimize_n_jobs_respects_timeout(tmp_path):
+    """With n_jobs>1 the timeout must gate SUBMISSION (at most n_jobs
+    in flight), not just a pre-submit loop that enqueues the whole study
+    in microseconds — real-optuna semantics: stop launching on timeout,
+    let in-flight trials finish."""
+    import time
+
+    study = create_study(
+        study_name="jobs_timeout",
+        storage=f"sqlite:///{tmp_path/'jt.db'}",
+        sampler_seed=0,
+    )
+
+    def obj(trial):
+        time.sleep(0.15)
+        return trial.suggest_float("x", 0.0, 1.0)
+
+    t0 = time.time()
+    study.optimize(obj, n_trials=50, n_jobs=2, timeout=0.5)
+    elapsed = time.time() - t0
+    n_done = len(study.trials)
+    # 50 trials x 0.15 s / 2 workers would be ~3.75 s; the timeout plus
+    # at most n_jobs in-flight trials bounds it far below that.
+    assert n_done < 20
+    assert elapsed < 2.5
+
+
 def test_optuna_differential_median_pruner():
     """Differential check vs REAL optuna when importable: identical
     report histories must produce identical prune decisions."""

@@ -29,6 +29,7 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import numpy as np
 from flax import serialization
 
 
@@ -40,6 +41,32 @@ def _to_state_dict(state) -> Dict[str, Any]:
         "step": state.step,
     }
     return d
+
+
+def bulk_device_get(tree, max_workers: int = 8):
+    """device_get a pytree with concurrent per-leaf transfers.
+
+    Measured on a 380-leaf / 494 MB Siamese train state through the dev
+    tunnel: sequential jax.device_get = 260 s (~2 MB/s — each leaf pays
+    the link round trip plus a device-side relayout), a single device-side
+    concat = 182 s first call (dominated by compiling the 380-operand
+    concatenate), while 8 threads of per-leaf np.asarray overlap those
+    costs and finish in 30 s with no extra compilation.  Host/numpy leaves
+    pass through untouched; returns a tree of numpy arrays (same
+    shapes/dtypes as jax.device_get — see tests/test_checkpoint_bulk.py)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    leaves, treedef = jax.tree.flatten(tree)
+    idxs = [i for i, l in enumerate(leaves) if isinstance(l, jax.Array)]
+    out = list(leaves)
+    if idxs:
+        with ThreadPoolExecutor(
+            max_workers=min(max_workers, len(idxs))
+        ) as ex:
+            pulled = list(ex.map(np.asarray, (leaves[i] for i in idxs)))
+        for i, arr in zip(idxs, pulled):
+            out[i] = arr
+    return jax.tree.unflatten(treedef, out)
 
 
 def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None,
@@ -54,10 +81,11 @@ def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None,
     if model_only:
         payload = {"params": payload["params"],
                    "batch_stats": payload["batch_stats"]}
-    # One batched device->host transfer for the whole tree up front:
-    # serialization.to_bytes would otherwise pull leaves one at a time
-    # (hundreds of round-trips — dominant on remote-device links).
-    payload = jax.device_get(payload)
+    # Concurrent device->host transfer: sequential jax.device_get on this
+    # ~380-leaf tree measured 260 s (~2 MB/s) through the dev tunnel;
+    # bulk_device_get's 8-thread per-leaf pulls overlap the per-transfer
+    # round trips and relayouts and take 30 s for the same 494 MB state.
+    payload = bulk_device_get(payload)
     if extra:
         payload["extra"] = extra
     data = serialization.to_bytes(payload)

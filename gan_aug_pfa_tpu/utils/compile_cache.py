@@ -32,7 +32,10 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     explicitly or $GAN_AUG_PFA_TPU_CACHE_CPU=1: XLA:CPU executables are
     AOT-compiled for the build host's machine features, and loading them on
     a different host can SIGILL — accelerator backends don't have this
-    hazard, and CPU compiles are not the workload that hurts.
+    hazard, and CPU compiles are not the workload that hurts.  A second
+    CPU-only hazard: concurrently SERIALIZING CPU executables from
+    multiple threads (e.g. --parallel-trials) has been observed to abort
+    the process in XLA — one more reason the CPU cache stays opt-in.
     """
     explicit = cache_dir is not None or _ENV_VAR in os.environ
     cache_dir = cache_dir or os.environ.get(_ENV_VAR) or _DEFAULT

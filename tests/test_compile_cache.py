@@ -11,7 +11,17 @@ from gan_aug_pfa_tpu.utils.compile_cache import enable_compile_cache
 @pytest.fixture(autouse=True)
 def _restore_cache_config():
     """Snapshot/restore the global jax cache config so these tests are
-    order-independent and don't leak a persistent cache into later tests."""
+    order-independent and don't leak a persistent cache into later tests.
+
+    Restoring the CONFIG VALUES alone is not enough: jax's persistent
+    cache is a lazily-initialized module singleton, and once any test
+    here initializes it, every later compile in the process keeps writing
+    entries regardless of jax_compilation_cache_dir — observed to abort
+    the interpreter when two tuning-trial threads serialized CPU
+    executables concurrently (full-suite crash, 2026-08-17).  reset_cache()
+    drops the singleton too."""
+    from jax._src import compilation_cache as _cc
+
     keys = (
         "jax_compilation_cache_dir",
         "jax_persistent_cache_min_compile_time_secs",
@@ -21,6 +31,7 @@ def _restore_cache_config():
     yield
     for k, v in saved.items():
         jax.config.update(k, v)
+    _cc.reset_cache()
 
 
 def test_enable_sets_config_and_creates_dir(tmp_path):

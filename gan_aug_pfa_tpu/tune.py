@@ -21,6 +21,9 @@ reference (BASELINE.md) becomes seconds.
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 import jax
 import numpy as np
 
@@ -29,6 +32,10 @@ from .data import build_cached_dataset, create_sample_lists
 from .data.loader import build_padded_native_dataset
 from .train import SiameseTrainer
 from .tuning import MedianPruner, TrialPruned, TrialState, create_study
+
+# Concurrent FIRST compiles from parallel-trial threads can crash
+# jaxlib's CPU client (see objective()); serialize them study-wide.
+_FIRST_COMPILE_LOCK = threading.Lock()
 
 TRIAL_EPOCHS = 15  # reference train.py:183
 STUDY_NAME = "siamese_unet_tuning_v3"  # reference train.py:341
@@ -113,11 +120,18 @@ def make_objective(data_cfg: DataConfig, verbose: bool = True,
             native_out_size=data_cfg.target_size if native_aug else None,
         )
         # (augment=True per reference train.py:201)
-        state = trainer.init_state(
-            jax.random.PRNGKey(trial.number), data_cfg.target_size
-        )
-        dev_t = trainer._device_arrays(train_ds)
-        dev_v = trainer._device_arrays(val_ds)
+        # Serialize each trial's compile-heavy setup + first epoch:
+        # concurrent first compiles from parallel-trial threads have
+        # crashed jaxlib's CPU client (segfault/abort observed in the
+        # full suite, 2026-08-17).  Steady-state epochs (the other
+        # trial_epochs-1, cache hits) still overlap freely, which is
+        # where the parallel-trial win lives.
+        with _FIRST_COMPILE_LOCK:
+            state = trainer.init_state(
+                jax.random.PRNGKey(trial.number), data_cfg.target_size
+            )
+            dev_t = trainer._device_arrays(train_ds)
+            dev_v = trainer._device_arrays(val_ds)
         if verbose:
             print(
                 f"{name}Trial {trial.number}: lr={lr:.2e}, batch={batch_size}, "
@@ -130,10 +144,13 @@ def make_objective(data_cfg: DataConfig, verbose: bool = True,
         best = float("inf")
         for epoch in range(1, trial_epochs + 1):
             rng, erng = jax.random.split(rng)
-            state, train_loss = trainer.train_epoch(
-                state, dev_t, len(train_ds), erng, epoch_rng
-            )
-            val_loss = trainer.validate(state, dev_v, len(val_ds))
+            # Epoch 1 compiles this trial's program shapes; later epochs
+            # are cache hits with identical shapes (see lock note above).
+            with _FIRST_COMPILE_LOCK if epoch == 1 else contextlib.nullcontext():
+                state, train_loss = trainer.train_epoch(
+                    state, dev_t, len(train_ds), erng, epoch_rng
+                )
+                val_loss = trainer.validate(state, dev_v, len(val_ds))
             trial.report(val_loss, epoch)
             if trial.should_prune():
                 if verbose:

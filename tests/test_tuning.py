@@ -204,23 +204,60 @@ def test_load_study_reads_real_optuna_schema(tmp_path):
 def test_parallel_trials_across_submeshes(oscd_tree, tmp_path):
     """n_parallel=2: trials run concurrently on disjoint device-slice
     partitions (the BASELINE 'sweep across a TPU slice' shape), all landing
-    in one shared study."""
-    from gan_aug_pfa_tpu.config import DataConfig
-    from gan_aug_pfa_tpu.tune import run_tuning
-    from gan_aug_pfa_tpu.tuning import TrialState
+    in one shared study.
 
-    data_cfg = DataConfig(root_dir=str(oscd_tree), target_size=(32, 32))
-    storage = f"sqlite:///{tmp_path}/par.db"
-    study = run_tuning(
-        data_cfg, n_trials=2, storage=storage, study_name="par_test",
-        trial_epochs=1, verbose=False, n_parallel=2,
+    Runs in a FRESH interpreter: after ~150 prior suite tests in one
+    process, jaxlib's CPU client segfaulted/aborted compiling this test's
+    programs (3 distinct crashes, 2026-08-17 full-suite logs) while the
+    identical run passes every time in isolation — a jaxlib process-state
+    bug, so the test isolates itself."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        assert len(jax.devices()) == 8
+        from gan_aug_pfa_tpu.config import DataConfig
+        from gan_aug_pfa_tpu.tune import run_tuning
+        from gan_aug_pfa_tpu.tuning import TrialState
+
+        data_cfg = DataConfig(root_dir={str(oscd_tree)!r},
+                              target_size=(32, 32))
+        study = run_tuning(
+            data_cfg, n_trials=2,
+            storage="sqlite:///{tmp_path}/par.db",
+            study_name="par_test", trial_epochs=1, verbose=False,
+            n_parallel=2,
+        )
+        trials = study.trials
+        assert len(trials) == 2, trials
+        assert all(t.state in (TrialState.COMPLETE, TrialState.PRUNED)
+                   for t in trials), [t.state for t in trials]
+        assert study.best_trial.value is not None
+        print("PAR_OK")
+        """
     )
-    trials = study.trials
-    assert len(trials) == 2
-    assert all(
-        t.state in (TrialState.COMPLETE, TrialState.PRUNED) for t in trials
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [os.path.dirname(os.path.dirname(__file__)),
+                    env.get("PYTHONPATH", "")] if p
     )
-    assert study.best_trial.value is not None
+    r = subprocess.run(
+        [sys.executable, "-c", script], env=env,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "PAR_OK" in r.stdout
 
 
 # -- real-Optuna MedianPruner semantics (VERDICT r1 item 6) -----------------

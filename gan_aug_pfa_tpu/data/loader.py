@@ -211,6 +211,15 @@ def build_padded_native_dataset(
                     np.int32
                 )
                 if lb.shape != i1.shape[:2]:
+                    # Anomaly warnings print unconditionally (like the
+                    # 'Failed to load ... Skipping.' message below) — a
+                    # wrong-resolution label usually means corrupt or
+                    # misplaced data and should never pass silently.
+                    print(
+                        f"label native size differs for {s.city} "
+                        f"({lb.shape} vs {i1.shape[:2]}); nearest-"
+                        "resizing the label to img1's extent."
+                    )
                     lb = _resize_nearest_np(
                         lb, (i1.shape[0], i1.shape[1])
                     )

@@ -139,14 +139,18 @@ def make_objective(data_cfg: DataConfig, verbose: bool = True,
                 f"f_alpha={focal_alpha:.2f}, f_gamma={focal_gamma:.2f}, "
                 f"loss_beta={loss_beta:.2f}, dice_smooth={dice_smooth:.2e}"
             )
-        rng = jax.random.PRNGKey(1000 + trial.number)
+        with _FIRST_COMPILE_LOCK:
+            # PRNGKey/split also compile on their first call in a fresh
+            # process — keep them under the lock too.
+            rng = jax.random.PRNGKey(1000 + trial.number)
         epoch_rng = np.random.RandomState(trial.number)
         best = float("inf")
         for epoch in range(1, trial_epochs + 1):
-            rng, erng = jax.random.split(rng)
-            # Epoch 1 compiles this trial's program shapes; later epochs
-            # are cache hits with identical shapes (see lock note above).
+            # Epoch 1 compiles this trial's program shapes (split, epoch
+            # scan, validate); later epochs are cache hits with identical
+            # shapes (see lock note above).
             with _FIRST_COMPILE_LOCK if epoch == 1 else contextlib.nullcontext():
+                rng, erng = jax.random.split(rng)
                 state, train_loss = trainer.train_epoch(
                     state, dev_t, len(train_ds), erng, epoch_rng
                 )

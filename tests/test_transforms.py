@@ -257,7 +257,6 @@ def test_resize_from_native_matches_host_resize():
         np.testing.assert_array_equal(got_l, want_l)
 
 
-@pytest.mark.slow
 def test_padded_native_dataset_keeps_mismatched_pair(tmp_path):
     """A pair whose img1/img2 native sizes differ is KEPT (img2 and label
     are brought to img1's extent), matching the fixed-size cache path,
@@ -290,6 +289,7 @@ def test_padded_native_dataset_keeps_mismatched_pair(tmp_path):
     assert tuple(ds.sizes[0].tolist()) == (24, 32)  # img1's extent rules
 
 
+@pytest.mark.slow
 def test_padded_native_dataset_and_trainer_step(oscd_tree):
     """End-to-end: build the padded native cache from the fixture tree and
     run one native-augment train step to target size."""

@@ -257,16 +257,22 @@ def test_resize_from_native_matches_host_resize():
         np.testing.assert_array_equal(got_l, want_l)
 
 
-def test_padded_native_dataset_keeps_mismatched_pair(tmp_path):
+def test_padded_native_dataset_keeps_mismatched_pair(tmp_path, capsys):
     """A pair whose img1/img2 native sizes differ is KEPT (img2 and label
     are brought to img1's extent), matching the fixed-size cache path,
-    which also keeps such pairs — not silently dropped."""
+    which also keeps such pairs — not silently dropped.  Both anomalies
+    must WARN (a wrong-resolution label usually means corrupt data), and
+    the stretched label must be the nearest-resize of the decoded one."""
     from PIL import Image
 
-    from gan_aug_pfa_tpu.data.loader import build_padded_native_dataset
+    from gan_aug_pfa_tpu.data.loader import (
+        _resize_nearest_np,
+        build_padded_native_dataset,
+    )
     from gan_aug_pfa_tpu.data.scanner import Sample
 
     r = np.random.RandomState(0)
+    arrs = {}
 
     def png(name, h, w, mode):
         arr = (
@@ -274,6 +280,7 @@ def test_padded_native_dataset_keeps_mismatched_pair(tmp_path):
             if mode == "RGB"
             else (r.rand(h, w) > 0.5).astype(np.uint8) * 255
         )
+        arrs[name] = arr
         p = str(tmp_path / name)
         Image.fromarray(arr, mode).save(p)
         return p
@@ -285,8 +292,15 @@ def test_padded_native_dataset_keeps_mismatched_pair(tmp_path):
         city="mismatch",
     )
     ds = build_padded_native_dataset([s], verbose=False)
+    out = capsys.readouterr().out
     assert len(ds) == 1  # kept, not skipped
     assert tuple(ds.sizes[0].tolist()) == (24, 32)  # img1's extent rules
+    assert "img1/img2 native sizes differ for mismatch" in out
+    assert "label native size differs for mismatch" in out
+    want_lb = _resize_nearest_np(
+        (arrs["cm.png"] > 128).astype(np.int32), (24, 32)
+    )
+    np.testing.assert_array_equal(np.asarray(ds.labels[0])[:24, :32], want_lb)
 
 
 @pytest.mark.slow

@@ -1,0 +1,216 @@
+"""AOT serving export: self-contained StableHLO inference artifacts.
+
+The reference has no serving/deployment story — every inference entry point
+rebuilds the torch model in Python and loads a state_dict per run
+(reference generate_synthetic_data.py:44-48, evaluate.py:343-351).  For
+production TPU serving the rebuild exports its flagship forwards with
+``jax.export``:
+
+  * weights are BAKED into the artifact as constants — one file is the
+    whole deployable, immune to model-code drift between export and serve;
+  * the batch dimension is SYMBOLIC — one artifact serves any batch size
+    (XLA still compiles per concrete shape at serve time, cached);
+  * target platforms are recorded and checked — export for ``tpu`` from a
+    CPU host works (cross-platform lowering), and a mismatched loader
+    fails loudly instead of silently recompiling;
+  * loading needs jax but NOT this package's model code.
+
+Exported callables (all NHWC, float32 at the boundary; compute dtype is
+whatever the checkpointed model was built with, recorded in the header):
+
+  arch ``siamese``        (img1, img2) in [-1,1]  ->  sigmoid probs
+                          (B,H,W,1) — the eval-path output
+                          (reference evaluate.py:150-151).
+  arch ``generator``      img1 in [0,1] -> fake img2 in [0,1] — the
+                          normalize -> G -> x*0.5+0.5 chain of the
+                          synthetic-data path (reference
+                          generate_synthetic_data.py:61-71).
+  arch ``discriminator``  (a, b) in [-1,1] -> patch logits (B,h',w',1)
+                          via channel concat (reference train_gan.py:57).
+
+Artifact layout (single file): 8-byte magic ``GAPTPUX1`` + u32-LE header
+length + JSON header (arch/shapes/platforms/source) + jax.export payload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+MAGIC = b"GAPTPUX1"
+
+ARCHS = ("siamese", "generator", "discriminator")
+
+# Checkpoint-stem -> arch, per the reference's file-naming contract
+# (train.py:307-321, train_gan.py:149-154).
+_STEM_HINTS = (
+    ("generator", "generator"),
+    ("discriminator", "discriminator"),
+    ("best_model", "siamese"),
+    ("model_epoch", "siamese"),
+)
+
+
+def arch_from_stem(path: str) -> Optional[str]:
+    stem = os.path.basename(path)
+    for hint, arch in _STEM_HINTS:
+        if hint in stem:
+            return arch
+    return None
+
+
+# ---------------------------------------------------------------------------
+# model construction + weight-baked inference fns
+
+
+def _build_model(arch: str, n_channels: int, compute_dtype: str):
+    from .models.pix2pix import NLayerDiscriminator, UNetGenerator
+    from .models.siamese_unet import SiameseUNet
+
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    if arch == "siamese":
+        # batched_encoder is eval-mode exact (running-stat BN) and ~25%
+        # faster — the evaluation pipelines' default (pipelines.py).
+        return SiameseUNet(n_channels=n_channels, dtype=dtype,
+                           batched_encoder=True)
+    if arch == "generator":
+        return UNetGenerator(input_nc=n_channels, output_nc=n_channels,
+                             dtype=dtype)
+    if arch == "discriminator":
+        return NLayerDiscriminator(input_nc=n_channels * 2, dtype=dtype)
+    raise ValueError(f"unknown arch {arch!r}; expected one of {ARCHS}")
+
+
+def _inference_fn(arch: str, model, variables: Dict[str, Any]):
+    """A pure fn over inputs with the variables closed over (so jax.export
+    bakes them into the artifact as constants)."""
+    if arch == "siamese":
+
+        def fn(img1, img2):
+            logits = model.apply(variables, img1, img2, train=False)
+            return jax.nn.sigmoid(logits)
+
+        return fn
+    if arch == "generator":
+
+        def fn(img1):
+            from .data.transforms import normalize
+
+            fake = model.apply(variables, normalize(img1), train=False)
+            return fake * 0.5 + 0.5
+
+        return fn
+
+    def fn(a, b):
+        return model.apply(
+            variables, jnp.concatenate([a, b], axis=-1), train=False
+        )
+
+    return fn
+
+
+def _input_specs(arch: str, height: int, width: int, n_channels: int,
+                 batch_size: Optional[int]) -> Tuple[Any, ...]:
+    if batch_size is None:
+        (b,) = jax.export.symbolic_shape("b")
+    else:
+        b = batch_size
+    spec = jax.ShapeDtypeStruct((b, height, width, n_channels), jnp.float32)
+    return (spec,) if arch == "generator" else (spec, spec)
+
+
+# ---------------------------------------------------------------------------
+# export / save / load
+
+
+def export_model(
+    arch: str,
+    variables: Dict[str, Any],
+    height: int,
+    width: int,
+    *,
+    n_channels: int = 3,
+    batch_size: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+    compute_dtype: str = "float32",
+):
+    """Export one arch as a jax.export.Exported with weights baked in.
+
+    batch_size=None (default) exports a symbolic batch dimension.
+    platforms=None records the current default backend only.
+    """
+    model = _build_model(arch, n_channels, compute_dtype)
+    fn = _inference_fn(arch, model, variables)
+    specs = _input_specs(arch, height, width, n_channels, batch_size)
+    return jax.export.export(
+        jax.jit(fn),
+        platforms=list(platforms) if platforms is not None else None,
+    )(*specs)
+
+
+def save_artifact(path: str, exported, meta: Dict[str, Any]) -> None:
+    """Write magic + JSON header + serialized Exported, atomically."""
+    payload = bytes(exported.serialize())
+    header = dict(meta)
+    header.setdefault("format_version", 1)
+    header["platforms"] = list(exported.platforms)
+    header["in_avals"] = [str(a) for a in exported.in_avals]
+    header["out_avals"] = [str(a) for a in exported.out_avals]
+    hdr = json.dumps(header, sort_keys=True).encode("utf-8")
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(MAGIC)
+            f.write(struct.pack("<I", len(hdr)))
+            f.write(hdr)
+            f.write(payload)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+
+def load_artifact(path: str, check_platform: bool = True
+                  ) -> Tuple[Dict[str, Any], Any]:
+    """Load (header, Exported).  check_platform verifies the current jax
+    default backend is among the artifact's recorded platforms — a
+    mismatch would otherwise only surface as an opaque call-time error."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if blob[: len(MAGIC)] != MAGIC:
+        raise ValueError(
+            f"{path} is not a serving artifact (bad magic "
+            f"{blob[:len(MAGIC)]!r}; expected {MAGIC!r})"
+        )
+    off = len(MAGIC)
+    (hlen,) = struct.unpack_from("<I", blob, off)
+    off += 4
+    header = json.loads(blob[off:off + hlen].decode("utf-8"))
+    exported = jax.export.deserialize(bytearray(blob[off + hlen:]))
+    if check_platform:
+        backend = jax.default_backend()
+        if backend not in exported.platforms:
+            raise ValueError(
+                f"artifact {path} was exported for platforms "
+                f"{tuple(exported.platforms)} but the current jax backend "
+                f"is {backend!r}; re-export with --platform {backend} "
+                "(or pass check_platform=False)"
+            )
+    return header, exported
+
+
+def load_serving_fn(path: str):
+    """Load an artifact and return (header, callable) — the callable runs
+    the baked model on the current backend: probs = fn(img1, img2)."""
+    header, exported = load_artifact(path)
+    return header, exported.call

@@ -81,6 +81,44 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def param_shardings(mesh: Mesh, tree, model_axis: str = "model",
+                    min_size: int = 256):
+    """Tensor-parallel placement: a sharding per leaf of a train-state tree.
+
+    Conv kernels (HWIO, ndim 4) with an output-channel dim that is both
+    >= min_size and divisible by the '{model_axis}' mesh extent are sharded
+    over that dim; 1-D channel vectors (biases, BN scale/shift, running
+    stats) shard the same way so they stay aligned with their kernels.
+    Everything else (small kernels, scalars, opt-state counters) replicates.
+    Optimizer moments mirror their params automatically because they are
+    leaves of the same tree with the same shapes.
+
+    This is real tensor parallelism in the XLA SPMD style: the placement is
+    declared on the arrays and the partitioner inserts the all-gathers /
+    reduce-scatters on ICI — no hand-written collectives.  For these U-Nets
+    it is an HBM-relief axis (each chip holds 1/n of the wide bottleneck
+    kernels and their fp32 Adam moments), composable with 'data' and
+    'spatial' axes on the same mesh.  The reference has no parallelism of
+    any kind (SURVEY.md §5.8)."""
+    n = mesh.shape.get(model_axis, 1)
+    rep = NamedSharding(mesh, P())
+    if n <= 1:
+        return jax.tree_util.tree_map(lambda _: rep, tree)
+    kernel = NamedSharding(mesh, P(None, None, None, model_axis))
+    vector = NamedSharding(mesh, P(model_axis))
+
+    def rule(x):
+        shape = np.shape(x)
+        if (len(shape) == 4 and shape[-1] >= min_size
+                and shape[-1] % n == 0):
+            return kernel
+        if len(shape) == 1 and shape[0] >= min_size and shape[0] % n == 0:
+            return vector
+        return rep
+
+    return jax.tree_util.tree_map(rule, tree)
+
+
 def shard_batch_arrays(mesh: Mesh, *arrays, axis: str = "data"):
     """Device-put each array with its batch dim sharded over `axis`."""
     out = []

@@ -80,8 +80,15 @@ class GANTrainer:
             tx=self.tx_d, batch_stats=vd["batch_stats"],
         )
         if self.mesh is not None:
-            sg = jax.device_put(sg, replicate_sharding(self.mesh))
-            sd = jax.device_put(sd, replicate_sharding(self.mesh))
+            if self.mesh.shape.get("model", 1) > 1:
+                # Tensor parallelism over 'model' (see parallel/mesh.py).
+                from ..parallel.mesh import param_shardings
+
+                sg = jax.device_put(sg, param_shardings(self.mesh, sg))
+                sd = jax.device_put(sd, param_shardings(self.mesh, sd))
+            else:
+                sg = jax.device_put(sg, replicate_sharding(self.mesh))
+                sd = jax.device_put(sd, replicate_sharding(self.mesh))
         return sg, sd
 
     # ------------------------------------------------------------------

@@ -135,7 +135,17 @@ class SiameseTrainer:
             batch_stats=variables["batch_stats"],
         )
         if self.mesh is not None:
-            state = jax.device_put(state, replicate_sharding(self.mesh))
+            if self.mesh.shape.get("model", 1) > 1:
+                # Tensor parallelism: wide conv kernels (and their aligned
+                # channel vectors / optimizer moments) shard over 'model';
+                # XLA SPMD inserts the collectives (parallel/mesh.py).
+                from ..parallel.mesh import param_shardings
+
+                state = jax.device_put(
+                    state, param_shardings(self.mesh, state)
+                )
+            else:
+                state = jax.device_put(state, replicate_sharding(self.mesh))
         return state
 
     # -- compiled steps --------------------------------------------------

@@ -9,6 +9,7 @@ import pytest
 from gan_aug_pfa_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    param_shardings,
     put_dataset_global,
     replicate_sharding,
     shard_batch_arrays,
@@ -117,6 +118,80 @@ def test_spatial_sharded_conv_matches_unsharded():
         return conv(v)
 
     np.testing.assert_allclose(np.asarray(sharded(xs)), ref, atol=1e-5)
+
+
+def test_param_shardings_rules():
+    """Wide conv kernels and their channel vectors shard over 'model';
+    small/odd leaves replicate; no 'model' axis -> everything replicates."""
+    from jax.sharding import PartitionSpec as P
+
+    tree = {
+        "wide_kernel": np.zeros((3, 3, 256, 512), np.float32),
+        "narrow_kernel": np.zeros((3, 3, 3, 64), np.float32),
+        "indivisible": np.zeros((3, 3, 64, 257), np.float32),
+        "bn_scale": np.zeros((512,), np.float32),
+        "small_bias": np.zeros((64,), np.float32),
+        "scalar_count": np.zeros((), np.int32),
+    }
+    mesh = make_mesh(8, axis_names=("data", "model"), shape=(4, 2))
+    s = param_shardings(mesh, tree)
+    assert s["wide_kernel"].spec == P(None, None, None, "model")
+    assert s["bn_scale"].spec == P("model")
+    for k in ("narrow_kernel", "indivisible", "small_bias", "scalar_count"):
+        assert s[k].spec == P()
+
+    no_tp = make_mesh(8, axis_names=("data",))
+    s2 = param_shardings(no_tp, tree)
+    assert all(v.spec == P() for v in s2.values())
+
+
+@pytest.mark.slow
+def test_siamese_tensor_parallel_matches_single_device():
+    """A train step with params sharded over a ('data','model') mesh is the
+    SAME math as single-device — XLA SPMD inserts the tensor-parallel
+    collectives for the channel-sharded convs."""
+    from gan_aug_pfa_tpu.config import SiameseTrainConfig
+    from gan_aug_pfa_tpu.train import SiameseTrainer
+
+    r = np.random.RandomState(0)
+    n = 4
+    ds = (
+        r.rand(n, 16, 16, 3).astype(np.float32),
+        r.rand(n, 16, 16, 3).astype(np.float32),
+        (r.rand(n, 16, 16) > 0.8).astype(np.int32),
+    )
+    cfg = SiameseTrainConfig(batch_size=2, compute_dtype="float32")
+
+    def one_epoch(mesh):
+        tr = SiameseTrainer(cfg, mesh=mesh, augment=False)
+        state = tr.init_state(jax.random.PRNGKey(0), (16, 16))
+        if mesh is not None:
+            dev = put_dataset_global(mesh, *ds)
+        else:
+            dev = tuple(jax.device_put(a) for a in ds)
+        state, loss = tr.train_epoch(
+            state, dev, n, jax.random.PRNGKey(1), np.random.RandomState(5)
+        )
+        return loss, tr.validate(state, dev, n)
+
+    ref_loss, ref_val = one_epoch(None)
+    mesh = make_mesh(8, axis_names=("data", "model"), shape=(2, 4))
+    # min_size=256 with 1024-channel bottleneck kernels: the 4-way 'model'
+    # axis really shards them (sanity-check one leaf below).
+    tr = SiameseTrainer(cfg, mesh=mesh, augment=False)
+    state = tr.init_state(jax.random.PRNGKey(0), (16, 16))
+    sharded_leaves = [
+        x for x in jax.tree_util.tree_leaves(state.params)
+        if x.ndim == 4 and not x.sharding.is_fully_replicated
+    ]
+    assert sharded_leaves, "no conv kernel actually sharded over 'model'"
+    assert sharded_leaves[0].addressable_shards[0].data.shape[-1] == (
+        sharded_leaves[0].shape[-1] // 4
+    )
+
+    tp_loss, tp_val = one_epoch(mesh)
+    assert tp_loss == pytest.approx(ref_loss, rel=2e-3)
+    assert tp_val == pytest.approx(ref_val, rel=2e-3)
 
 
 @pytest.mark.slow

@@ -50,6 +50,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Two or more checkpoints to ensemble by averaging "
                         "sigmoid probabilities (the reference README's "
                         "Step 7, implemented)")
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="[extension] decision threshold for the metrics "
+                        "(the reference hardcodes 0.5)")
+    p.add_argument("--threshold-sweep", action="store_true",
+                   help="[extension] also report macro-F1/IoU over a "
+                        "0.05..0.95 threshold grid and the best operating "
+                        "point")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="[extension] disable the persistent XLA compilation cache")
     return p
@@ -82,6 +89,8 @@ def main() -> None:
         post_process=args.post_process,
         post_process_kernel=args.post_process_kernel,
         ensemble_paths=tuple(args.ensemble) if args.ensemble else None,
+        threshold=args.threshold,
+        threshold_sweep=args.threshold_sweep,
     )
     from gan_aug_pfa_tpu import pipelines
 

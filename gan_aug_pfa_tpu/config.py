@@ -103,6 +103,13 @@ class SiameseTrainConfig:
     # device links; the file lags the true best by <save_every epochs
     # if training crashes mid-interval, hence opt-in.
     defer_best_ckpt: bool = False
+    # Write checkpoints on a background thread: the save takes a device-side
+    # snapshot (HBM copies) and the device->host pull + serialize + write
+    # overlap the following epochs (checkpoint.AsyncCheckpointWriter).  One
+    # save in flight at a time; the pipeline waits for the last write before
+    # returning.  Opt-in because a crash between snapshot and write loses
+    # that one checkpoint (the synchronous default is durable on return).
+    async_ckpt: bool = False
     # Keep decoder skip-concats as slice tuples consumed by kernel-sliced
     # convs (models/blocks.SlicedConv) — no HBM concatenates; numerically
     # equal to the default path up to fp reassociation.
@@ -141,9 +148,11 @@ class GANTrainConfig:
     # to fp reassociation, no 6-channel HBM concat (the GAN step's device
     # profile showed ~21% layout copies).  Param tree unchanged.
     concat_free_disc: bool = False
-    # See SiameseTrainConfig.opt_momentum_dtype / opt_flat_state.
+    # See SiameseTrainConfig.opt_momentum_dtype / opt_flat_state /
+    # async_ckpt.
     opt_momentum_dtype: Optional[str] = None
     opt_flat_state: bool = False
+    async_ckpt: bool = False
     profile_dir: Optional[str] = None
     debug_nans: bool = False
 
@@ -165,6 +174,11 @@ class EvalConfig:
     post_process: bool = False          # morphological opening+closing
     post_process_kernel: int = 3
     ensemble_paths: Optional[Tuple[str, ...]] = None  # avg sigmoid probs
+    # Decision threshold for the metrics (reference hardcodes 0.5,
+    # evaluate.py:40); threshold_sweep additionally reports macro-F1 over a
+    # 0.05..0.95 grid and the best operating point.
+    threshold: float = 0.5
+    threshold_sweep: bool = False
 
 
 @dataclasses.dataclass

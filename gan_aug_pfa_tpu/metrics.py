@@ -25,9 +25,14 @@ import jax.numpy as jnp
 METRIC_KEYS = ("accuracy", "precision", "recall", "f1", "iou")
 
 
-def confusion_counts(preds: jnp.ndarray, targets: jnp.ndarray):
-    """tp/fp/fn/tn from probability maps (threshold 0.5) and {0,1} targets."""
-    p = (preds.astype(jnp.float32) > 0.5).astype(jnp.float32).reshape(-1)
+def confusion_counts(preds: jnp.ndarray, targets: jnp.ndarray,
+                     threshold: float = 0.5):
+    """tp/fp/fn/tn from probability maps and {0,1} targets.  threshold=0.5
+    is the reference's fixed decision point (evaluate.py:40); other values
+    are an [extension] (evaluate CLI --threshold / --threshold-sweep)."""
+    p = (preds.astype(jnp.float32) > threshold).astype(
+        jnp.float32
+    ).reshape(-1)
     t = targets.astype(jnp.float32).reshape(-1)
     tp = jnp.sum(p * t)
     fp = jnp.sum((1.0 - t) * p)
@@ -53,23 +58,38 @@ def metrics_from_counts(tp, fp, fn, tn, smooth: float = 1e-6
 
 
 def calculate_metrics(preds: jnp.ndarray, targets: jnp.ndarray,
-                      smooth: float = 1e-6) -> Dict[str, jnp.ndarray]:
+                      smooth: float = 1e-6, threshold: float = 0.5
+                      ) -> Dict[str, jnp.ndarray]:
     """Metrics over the whole (flattened) input — reference
     evaluate.py:34-64."""
-    tp, fp, fn, tn = confusion_counts(preds, targets)
+    tp, fp, fn, tn = confusion_counts(preds, targets, threshold)
     return metrics_from_counts(tp, fp, fn, tn, smooth)
 
 
 @jax.jit
-def per_sample_metrics(preds: jnp.ndarray, targets: jnp.ndarray
-                       ) -> Dict[str, jnp.ndarray]:
+def per_sample_metrics(preds: jnp.ndarray, targets: jnp.ndarray,
+                       threshold: float = 0.5) -> Dict[str, jnp.ndarray]:
     """Per-sample metrics over a batch: preds (B, ...), targets (B, ...).
     Returns each metric as a (B,) vector, for the reference's per-sample
     macro-averaging (evaluate.py:159-173)."""
     def one(p, t):
-        return calculate_metrics(p, t)
+        return calculate_metrics(p, t, threshold=threshold)
 
     return jax.vmap(one)(preds, targets)
+
+
+@jax.jit
+def per_sample_metrics_sweep(preds: jnp.ndarray, targets: jnp.ndarray,
+                             thresholds: jnp.ndarray
+                             ) -> Dict[str, jnp.ndarray]:
+    """[extension] per_sample_metrics over a (T,) threshold grid in one
+    compiled program: each metric comes back as a (T, B) array.  Powers
+    `evaluate.py --threshold-sweep` (operating-point selection — the
+    reference hardcodes 0.5)."""
+    def at_threshold(th):
+        return per_sample_metrics(preds, targets, th)
+
+    return jax.vmap(at_threshold)(thresholds)
 
 
 def per_sample_metrics_pallas(preds: jnp.ndarray, targets: jnp.ndarray,

@@ -176,6 +176,10 @@ def _run_siamese_epochs(
     checkpoint_dir, history, verbose,
 ):
     best_snapshot = None  # device-resident best model (defer_best_ckpt)
+    # Background writes (async_ckpt): same call signature as
+    # ckpt.save_checkpoint; the device->host pull overlaps later epochs.
+    writer = ckpt.AsyncCheckpointWriter() if train_cfg.async_ckpt else None
+    save_checkpoint = writer.save if writer else ckpt.save_checkpoint
     for epoch in range(start_epoch, train_cfg.num_epochs + 1):
         lr_now = get_learning_rate(state.opt_state)
         if verbose:
@@ -225,7 +229,7 @@ def _run_siamese_epochs(
                 path = os.path.join(
                     checkpoint_dir, ckpt.checkpoint_name("best_model")
                 )
-                ckpt.save_checkpoint(
+                save_checkpoint(
                     path, state,
                     extra={"epoch": epoch, "val_loss": val_loss},
                     model_only=True,
@@ -242,7 +246,7 @@ def _run_siamese_epochs(
             path = os.path.join(
                 checkpoint_dir, ckpt.checkpoint_name("best_model")
             )
-            ckpt.save_checkpoint(
+            save_checkpoint(
                 path,
                 SimpleNamespace(
                     params=best_snapshot["params"],
@@ -258,7 +262,7 @@ def _run_siamese_epochs(
             path = os.path.join(
                 checkpoint_dir, ckpt.checkpoint_name(f"model_epoch_{epoch}")
             )
-            ckpt.save_checkpoint(path, state, extra={"epoch": epoch},
+            save_checkpoint(path, state, extra={"epoch": epoch},
                                  model_only=True)
             if verbose:
                 print(f"Checkpoint saved to {path}")
@@ -268,7 +272,7 @@ def _run_siamese_epochs(
         # device->host pull that would otherwise dominate wall clock on
         # slow links.
         if epoch % train_cfg.save_every == 0 or epoch == train_cfg.num_epochs:
-            ckpt.save_checkpoint(
+            save_checkpoint(
                 os.path.join(
                     checkpoint_dir, ckpt.checkpoint_name("last_state")
                 ),
@@ -279,6 +283,8 @@ def _run_siamese_epochs(
                     "scheduler": scheduler.state_dict(),
                 },
             )
+    if writer is not None:
+        writer.wait()  # final write durable (and its errors raised) here
     history["best_val_loss"] = best_val_loss
     history["state"] = state
     history["trainer"] = trainer
@@ -345,6 +351,8 @@ def run_gan_training(
     profiler.enter_context(
         _setup_observability(trainer, gan_cfg, gan_cfg.batch_size, verbose)
     )
+    writer = ckpt.AsyncCheckpointWriter() if gan_cfg.async_ckpt else None
+    save_checkpoint = writer.save if writer else ckpt.save_checkpoint
 
     for epoch in range(start_epoch, gan_cfg.num_epochs + 1):
         t0 = time.perf_counter()
@@ -384,17 +392,17 @@ def run_gan_training(
             # Epoch-numbered checkpoints are model-only (the reference
             # saves bare state_dicts, train_gan.py:149-154); the last_*
             # pair keeps optimizer state for resume.
-            ckpt.save_checkpoint(pg, sg, extra={"epoch": epoch},
-                                 model_only=True)
-            ckpt.save_checkpoint(pd, sd, extra={"epoch": epoch},
-                                 model_only=True)
-            ckpt.save_checkpoint(
+            save_checkpoint(pg, sg, extra={"epoch": epoch},
+                            model_only=True)
+            save_checkpoint(pd, sd, extra={"epoch": epoch},
+                            model_only=True)
+            save_checkpoint(
                 os.path.join(
                     checkpoint_dir, ckpt.checkpoint_name("last_generator")
                 ),
                 sg, extra={"epoch": epoch},
             )
-            ckpt.save_checkpoint(
+            save_checkpoint(
                 os.path.join(
                     checkpoint_dir, ckpt.checkpoint_name("last_discriminator")
                 ),
@@ -402,6 +410,8 @@ def run_gan_training(
             )
             if verbose:
                 print(f"GAN Checkpoints saved for epoch {epoch}")
+    if writer is not None:
+        writer.wait()
     profiler.close()
     _report_observability(trainer, gan_cfg, verbose)
     if verbose:
@@ -561,6 +571,18 @@ def run_evaluation(
     per_city_counts: Dict[str, int] = {}
     n = 0
     visualized = 0
+    # [extension] operating-point sweep: macro-F1/IoU per threshold over a
+    # grid, one vmapped program per batch (metrics.per_sample_metrics_sweep).
+    sweep_grid = (
+        np.round(np.arange(0.05, 0.951, 0.05), 2)
+        if eval_cfg.threshold_sweep else None
+    )
+    sweep_f1 = sweep_iou = None
+    if sweep_grid is not None:
+        from .metrics import per_sample_metrics_sweep
+
+        sweep_f1 = np.zeros(len(sweep_grid))
+        sweep_iou = np.zeros(len(sweep_grid))
     for start in range(0, len(ds), bs):
         idx = np.arange(start, min(start + bs, len(ds)))
         img1 = dev[0][idx[0]:idx[-1] + 1]
@@ -581,9 +603,17 @@ def run_evaluation(
                 jax.numpy.asarray(probs),
                 kernel_size=eval_cfg.post_process_kernel,
             ))
+        labels_f = labels.astype(np.float32)
         batch_metrics = jax.device_get(
-            per_sample_metrics(probs, labels.astype(np.float32))
+            per_sample_metrics(probs, labels_f, eval_cfg.threshold)
         )
+        if sweep_grid is not None:
+            sm = jax.device_get(per_sample_metrics_sweep(
+                jnp.asarray(probs), jnp.asarray(labels_f),
+                jnp.asarray(sweep_grid, jnp.float32),
+            ))
+            sweep_f1 += np.asarray(sm["f1"]).sum(axis=1)
+            sweep_iou += np.asarray(sm["iou"]).sum(axis=1)
         for k_in_batch, sample_i in enumerate(idx):
             city = ds.cities[sample_i]
             if city not in per_city:
@@ -604,10 +634,31 @@ def run_evaluation(
                 visualized += 1
 
     overall = {k: v / n for k, v in total.items()} if n else {}
+    sweep = None
+    if sweep_grid is not None and n:
+        best = int(np.argmax(sweep_f1))
+        sweep = {
+            "thresholds": sweep_grid.tolist(),
+            "f1": (sweep_f1 / n).tolist(),
+            "iou": (sweep_iou / n).tolist(),
+            "best_threshold": float(sweep_grid[best]),
+            "best_f1": float(sweep_f1[best] / n),
+        }
     if verbose:
         print("\n--- Overall Evaluation Metrics ---")
         for k, v in overall.items():
             print(f"{k.capitalize()}: {v:.4f}")
+        if sweep is not None:
+            print("\n--- Threshold sweep (macro F1 / IoU) ---")
+            for th, f1v, iouv in zip(
+                sweep["thresholds"], sweep["f1"], sweep["iou"]
+            ):
+                mark = "  <- best" if th == sweep["best_threshold"] else ""
+                print(f"  t={th:.2f}  F1={f1v:.4f}  IoU={iouv:.4f}{mark}")
+            print(
+                f"Best operating point: t={sweep['best_threshold']:.2f} "
+                f"(F1={sweep['best_f1']:.4f})"
+            )
         print("\n--- Per-City Evaluation Metrics ---")
         for city, m in per_city.items():
             c = per_city_counts[city]
@@ -615,7 +666,7 @@ def run_evaluation(
             for k in METRIC_KEYS:
                 print(f"  {k.capitalize()}: {m[k] / c:.4f}")
     return {"overall": overall, "per_city": per_city,
-            "per_city_counts": per_city_counts}
+            "per_city_counts": per_city_counts, "sweep": sweep}
 
 
 def evaluate_single_pair(

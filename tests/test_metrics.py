@@ -69,3 +69,38 @@ def test_visualize_sample_13band_band_select(tmp_path):
     import os
 
     assert os.path.exists(path)
+
+
+def test_threshold_param_and_sweep():
+    """[extension] confusion_counts honors a non-0.5 threshold; the sweep
+    variant returns a (T, B) grid whose 0.5 row equals per_sample_metrics
+    and whose best-F1 threshold is the one separating this construction."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gan_aug_pfa_tpu.metrics import (
+        calculate_metrics,
+        per_sample_metrics,
+        per_sample_metrics_sweep,
+    )
+
+    # probs: positives at 0.4, negatives at 0.2 -> perfect at t=0.3,
+    # all-negative predictions at t=0.5.
+    t = np.zeros((2, 8, 8), np.float32)
+    t[:, :4] = 1.0
+    p = np.where(t > 0, 0.4, 0.2).astype(np.float32)
+
+    m05 = calculate_metrics(jnp.asarray(p), jnp.asarray(t))
+    assert float(m05["recall"]) < 1e-4  # nothing crosses 0.5
+    m03 = calculate_metrics(jnp.asarray(p), jnp.asarray(t), threshold=0.3)
+    assert float(m03["f1"]) > 0.999 and float(m03["iou"]) > 0.999
+
+    grid = jnp.asarray([0.1, 0.3, 0.5], jnp.float32)
+    sweep = per_sample_metrics_sweep(jnp.asarray(p), jnp.asarray(t), grid)
+    assert sweep["f1"].shape == (3, 2)
+    base = per_sample_metrics(jnp.asarray(p), jnp.asarray(t))
+    np.testing.assert_allclose(
+        np.asarray(sweep["f1"][2]), np.asarray(base["f1"]), rtol=1e-6
+    )
+    macro_f1 = np.asarray(sweep["f1"]).mean(axis=1)
+    assert int(np.argmax(macro_f1)) == 1  # t=0.3 wins

@@ -170,6 +170,26 @@ def test_evaluation_pipeline(siamese_run):
     assert len(vis) == 2
 
 
+def test_evaluation_threshold_sweep(siamese_run):
+    """[extension] --threshold-sweep reports a macro-F1/IoU grid whose 0.5
+    entry matches the headline metrics, and a best operating point."""
+    workdir, _ = siamese_run
+    result = pipelines.run_evaluation(
+        _data_cfg(workdir),
+        EvalConfig(target_size=SIA_SIZE, num_visualizations=0,
+                   threshold_sweep=True),
+        verbose=False,
+    )
+    sweep = result["sweep"]
+    assert sweep is not None
+    assert len(sweep["thresholds"]) == len(sweep["f1"]) == len(sweep["iou"])
+    i05 = sweep["thresholds"].index(0.5)
+    assert sweep["f1"][i05] == pytest.approx(result["overall"]["f1"],
+                                             rel=1e-5)
+    assert sweep["best_f1"] == pytest.approx(max(sweep["f1"]), rel=1e-9)
+    assert sweep["best_threshold"] in sweep["thresholds"]
+
+
 def test_single_pair_evaluation(siamese_run):
     workdir, _ = siamese_run
     img_base = os.path.join(
@@ -301,3 +321,42 @@ def test_siamese_training_fast_path_flags(synthetic_corpus):
     assert os.path.exists(
         os.path.join(workdir, "siamese_fast_ckpt", "best_model.msgpack")
     )
+
+
+def test_siamese_training_async_ckpt(synthetic_corpus, tmp_path):
+    """async_ckpt=True: background writes produce byte-identical
+    best_model/last_state checkpoints to the synchronous run (same seed),
+    and resume works from them."""
+    workdir, _ = synthetic_corpus
+    outs = {}
+    for name, flag in (("sync", False), ("async", True)):
+        cfg = SiameseTrainConfig(
+            batch_size=2, num_epochs=2, compute_dtype="float32",
+            save_every=2, data_parallel=False, seed=0, async_ckpt=flag,
+            checkpoint_dir=f"siamese_{name}_ckpt",
+        )
+        hist = pipelines.run_siamese_training(
+            _data_cfg(workdir, use_synthetic=False), cfg, verbose=False
+        )
+        assert hist is not None
+        outs[name] = os.path.join(workdir, f"siamese_{name}_ckpt")
+    for stem in ("best_model.msgpack", "last_state.msgpack"):
+        a = open(os.path.join(outs["sync"], stem), "rb").read()
+        b = open(os.path.join(outs["async"], stem), "rb").read()
+        assert a == b, f"{stem} differs between sync and async writes"
+    # wait() is idempotent and the writer surfaces write errors.
+    from gan_aug_pfa_tpu.checkpoint import AsyncCheckpointWriter
+
+    w = AsyncCheckpointWriter()
+    w.wait()  # no in-flight write: no-op
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+
+    bad = SimpleNamespace(
+        params={"w": jnp.ones((2,))}, batch_stats={}, opt_state=(), step=0
+    )
+    blocker = tmp_path / "a_file"
+    blocker.write_text("")
+    w.save(str(blocker / "x.msgpack"), bad)  # dirname is a regular file
+    with pytest.raises(OSError):
+        w.wait()

@@ -113,6 +113,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "save-every cadence instead of every improving "
                         "epoch (avoids ~165 MB device->host pulls per "
                         "improvement on slow links)")
+    p.add_argument("--async-ckpt", action="store_true",
+                   help="[extension] write checkpoints on a background "
+                        "thread (device-side snapshot first; the "
+                        "device->host pull overlaps later epochs)")
     return p
 
 
@@ -160,6 +164,7 @@ def main() -> None:
         opt_momentum_dtype=args.momentum_dtype,
         opt_flat_state=args.flat_opt_state,
         defer_best_ckpt=args.defer_best_ckpt,
+        async_ckpt=args.async_ckpt,
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,
     )

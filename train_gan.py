@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--flat-opt-state", action="store_true",
                    help="[extension] optimizer update on one concatenated "
                         "vector (optax.flatten; see train.py --help)")
+    p.add_argument("--async-ckpt", action="store_true",
+                   help="[extension] write checkpoints on a background "
+                        "thread (see train.py --help)")
     return p
 
 
@@ -95,6 +98,7 @@ def main() -> None:
         concat_free_disc=args.concat_free_disc,
         opt_momentum_dtype=args.momentum_dtype,
         opt_flat_state=args.flat_opt_state,
+        async_ckpt=args.async_ckpt,
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,
     )

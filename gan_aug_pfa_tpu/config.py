@@ -95,6 +95,10 @@ class SiameseTrainConfig:
     # (see train/optim.py).  Same per-element arithmetic; changes the
     # optimizer-state checkpoint layout, so opt-in.
     opt_flat_state: bool = False
+    # Average gradients over k mini-steps and apply ONE optimizer update
+    # (optax.MultiSteps): emulates batch_size*k beyond HBM capacity.
+    # BatchNorm batch stats still update per mini-batch.
+    grad_accum: int = 1
     # Keep the best model as a device-HBM snapshot and write
     # best_model.msgpack only on the save_every cadence / at the end,
     # instead of pulling the full fp32 param tree to host on every
@@ -114,6 +118,10 @@ class SiameseTrainConfig:
     # convs (models/blocks.SlicedConv) — no HBM concatenates; numerically
     # equal to the default path up to fp reassociation.
     concat_free: bool = False
+    # Rematerialize DoubleConv activations in the backward pass
+    # (jax.checkpoint): HBM relief for resolutions/batches beyond capacity
+    # at ~1/3 extra conv FLOPs.  Identical math and param tree.
+    remat: bool = False
     # Observability (SURVEY.md §5.1-5.2 — absent in the reference):
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
     debug_nans: bool = False  # jax_debug_nans numeric sanitizer

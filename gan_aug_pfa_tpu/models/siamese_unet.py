@@ -52,14 +52,30 @@ class SiameseUNet(nn.Module):
     dtype: Dtype = jnp.float32
     batched_encoder: bool = False
     concat_free: bool = False
+    # Rematerialize each DoubleConv's activations in the backward pass
+    # (jax.checkpoint via nn.remat): trades one recompute of the block's
+    # convs for not keeping its intermediate activations alive through
+    # the backward — HBM relief for resolutions/batches beyond capacity.
+    # Identical math and param tree; opt-in (costs ~1/3 more conv FLOPs).
+    remat: bool = False
 
     def setup(self):
         dt = self.dtype
-        self.dconv_down1 = DoubleConv(64, dtype=dt)
-        self.dconv_down2 = DoubleConv(128, dtype=dt)
-        self.dconv_down3 = DoubleConv(256, dtype=dt)
-        self.dconv_down4 = DoubleConv(512, dtype=dt)
-        self.bottleneck = DoubleConv(1024, dtype=dt)
+        # nn.remat is a lifted transform: the wrapped class has the same
+        # param/variable structure, so checkpoints are interchangeable
+        # between remat and non-remat models (tests/test_models.py).
+        # `train` (a Python bool) must stay static under jax.checkpoint;
+        # in flax's lifted remat, static_argnums counts the module itself
+        # as argument 0, so __call__(self, x, train) -> train is arg 2.
+        DC = (
+            nn.remat(DoubleConv, static_argnums=(2,))
+            if self.remat else DoubleConv
+        )
+        self.dconv_down1 = DC(64, dtype=dt)
+        self.dconv_down2 = DC(128, dtype=dt)
+        self.dconv_down3 = DC(256, dtype=dt)
+        self.dconv_down4 = DC(512, dtype=dt)
+        self.bottleneck = DC(1024, dtype=dt)
 
         # Combined (two-branch concatenated) channel sizes.
         ch_bott, ch_s4, ch_s3, ch_s2, ch_s1 = 2048, 1024, 512, 256, 128
@@ -68,10 +84,10 @@ class SiameseUNet(nn.Module):
         self.att1 = AttentionGate(256, ch_s2, ch_s2 // 2, dtype=dt)
         self.att_last = AttentionGate(128, ch_s1, ch_s1 // 2, dtype=dt)
 
-        self.dconv_up3 = DoubleConv(512, dtype=dt)
-        self.dconv_up2 = DoubleConv(256, dtype=dt)
-        self.dconv_up1 = DoubleConv(128, dtype=dt)
-        self.dconv_last = DoubleConv(64, dtype=dt)
+        self.dconv_up3 = DC(512, dtype=dt)
+        self.dconv_up2 = DC(256, dtype=dt)
+        self.dconv_up1 = DC(128, dtype=dt)
+        self.dconv_last = DC(64, dtype=dt)
         self.conv_last = conv(
             self.n_classes, (1, 1), use_bias=True, in_features=64, dtype=dt,
             name="conv_head",

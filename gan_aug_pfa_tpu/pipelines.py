@@ -644,6 +644,10 @@ def run_evaluation(
             "best_threshold": float(sweep_grid[best]),
             "best_f1": float(sweep_f1[best] / n),
         }
+        import json
+
+        with open(os.path.join(output_dir, "threshold_sweep.json"), "w") as f:
+            json.dump(sweep, f, indent=1)
     if verbose:
         print("\n--- Overall Evaluation Metrics ---")
         for k, v in overall.items():

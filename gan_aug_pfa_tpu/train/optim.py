@@ -24,6 +24,7 @@ def make_optimizer(
     eps: float = 1e-8,
     mu_dtype: str | None = None,
     flat_state: bool = False,
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
     """mu_dtype: dtype for the first-moment accumulator (e.g. "bfloat16").
     None keeps the torch-exact default (momentum in the param dtype).  A
@@ -65,7 +66,27 @@ def make_optimizer(
         # flatten() wraps update/init but passes the inner state through
         # unchanged, so set_learning_rate's hyperparams access still works.
         tx = optax.flatten(tx)
+    if grad_accum > 1:
+        # Gradient accumulation: average grads over k mini-steps and apply
+        # one optimizer update — emulates batch_size*k beyond what fits in
+        # HBM.  BatchNorm batch stats still update per MINI-batch (the
+        # standard accumulation semantics caveat).  set/get_learning_rate
+        # reach through MultiStepsState.inner_opt_state.
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx
+
+
+def _hyperparams(opt_state):
+    """The injected-hyperparams dict, reached through any MultiSteps
+    wrapper."""
+    while not hasattr(opt_state, "hyperparams"):
+        if hasattr(opt_state, "inner_opt_state"):
+            opt_state = opt_state.inner_opt_state
+        else:
+            raise AttributeError(
+                f"no hyperparams in opt state of type {type(opt_state)}"
+            )
+    return opt_state.hyperparams
 
 
 def set_learning_rate(opt_state, lr: float):
@@ -73,12 +94,11 @@ def set_learning_rate(opt_state, lr: float):
     (a one-scalar host->device transfer, done once per epoch at most)."""
     import jax.numpy as jnp
 
-    old = opt_state.hyperparams["learning_rate"]
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(
-        lr, dtype=jnp.asarray(old).dtype
-    )
+    hp = _hyperparams(opt_state)
+    old = hp["learning_rate"]
+    hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.asarray(old).dtype)
     return opt_state
 
 
 def get_learning_rate(opt_state) -> float:
-    return float(opt_state.hyperparams["learning_rate"])
+    return float(_hyperparams(opt_state)["learning_rate"])

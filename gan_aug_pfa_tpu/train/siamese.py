@@ -83,12 +83,13 @@ class SiameseTrainer:
         self.model = SiameseUNet(
             n_channels=config.n_channels, n_classes=config.n_classes,
             dtype=dtype, batched_encoder=config.batched_encoder,
-            concat_free=config.concat_free,
+            concat_free=config.concat_free, remat=config.remat,
         )
         self.tx = make_optimizer(
             config.optimizer, config.learning_rate, config.weight_decay,
             mu_dtype=config.opt_momentum_dtype,
             flat_state=config.opt_flat_state,
+            grad_accum=config.grad_accum,
         )
         self._loss_kwargs = dict(
             beta=config.loss_beta,

@@ -217,3 +217,46 @@ def test_concat_free_forward_and_grad_equivalence(rng):
             d2 += float(jnp.sum((ga - gb) ** 2))
             n2 += float(jnp.sum(gb ** 2))
         assert (d2 / n2) ** 0.5 < 1e-9
+
+
+def test_remat_forward_and_grad_equivalence(rng):
+    """remat=True (jax.checkpoint on each DoubleConv): identical param
+    tree, identical eval/train forwards, and parameter gradients equal to
+    the non-remat model (remat recomputes, it does not change math)."""
+    import numpy as np
+
+    base = SiameseUNet(n_channels=3, n_classes=1)
+    rem = SiameseUNet(n_channels=3, n_classes=1, remat=True)
+    r = np.random.RandomState(2)
+    x1 = jnp.asarray(r.rand(2, 16, 16, 3).astype(np.float32))
+    x2 = jnp.asarray(r.rand(2, 16, 16, 3).astype(np.float32))
+    v = base.init(rng, x1, x2, train=False)
+    v_r = rem.init(rng, x1, x2, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        v_r
+    )
+    for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v_r)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    np.testing.assert_allclose(
+        np.asarray(base.apply(v, x1, x2, train=False)),
+        np.asarray(rem.apply(v, x1, x2, train=False)),
+        atol=1e-6,
+    )
+    at, sa = base.apply(v, x1, x2, train=True, mutable=["batch_stats"])
+    bt, sb = rem.apply(v, x1, x2, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(at), np.asarray(bt), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(sa), jax.tree.leaves(sb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def loss(variables, model):
+        out, _ = model.apply(variables, x1, x2, train=True,
+                             mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    g_base = jax.grad(loss)(v, base)["params"]
+    g_rem = jax.grad(loss)(v, rem)["params"]
+    for a, b in zip(jax.tree.leaves(g_base), jax.tree.leaves(g_rem)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )

@@ -127,3 +127,39 @@ def test_bf16_momentum_updates_stay_close():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2)
         assert b.dtype == jnp.float32  # params themselves stay fp32
+
+
+def test_grad_accum_matches_mean_gradient_update():
+    """[extension] grad_accum=k: params move only every k-th update, and
+    that move equals one plain update on the MEAN of the k gradients.
+    set/get_learning_rate reach through the MultiSteps wrapper."""
+    from gan_aug_pfa_tpu.train.optim import (
+        get_learning_rate,
+        make_optimizer,
+        set_learning_rate,
+    )
+
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    g1 = {"w": jnp.full((4,), 0.5, jnp.float32)}
+    g2 = {"w": jnp.full((4,), 1.5, jnp.float32)}
+
+    tx = make_optimizer("adamw", 1e-2, 1e-3, grad_accum=2)
+    s = tx.init(params)
+    assert get_learning_rate(s) == pytest.approx(1e-2)
+    u1, s = tx.update(g1, s, params)
+    # Mini-step 1 of 2: no parameter movement yet.
+    assert all(
+        float(jnp.abs(v).max()) == 0.0
+        for v in jax.tree_util.tree_leaves(u1)
+    )
+    u2, s = tx.update(g2, s, params)
+
+    ref_tx = make_optimizer("adamw", 1e-2, 1e-3)
+    ref_s = ref_tx.init(params)
+    gmean = {"w": (g1["w"] + g2["w"]) / 2.0}
+    ref_u, _ = ref_tx.update(gmean, ref_s, params)
+    np.testing.assert_allclose(
+        np.asarray(u2["w"]), np.asarray(ref_u["w"]), rtol=1e-6
+    )
+    s = set_learning_rate(s, 5e-3)
+    assert get_learning_rate(s) == pytest.approx(5e-3)

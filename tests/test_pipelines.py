@@ -188,6 +188,12 @@ def test_evaluation_threshold_sweep(siamese_run):
                                              rel=1e-5)
     assert sweep["best_f1"] == pytest.approx(max(sweep["f1"]), rel=1e-9)
     assert sweep["best_threshold"] in sweep["thresholds"]
+    import json
+
+    saved = json.load(open(os.path.join(
+        workdir, "evaluation_results", "threshold_sweep.json"
+    )))
+    assert saved == sweep
 
 
 def test_single_pair_evaluation(siamese_run):

@@ -71,3 +71,41 @@ def test_scan_on_mesh_matches_single_device():
     mesh_loss, mesh_val = _run_epoch(mesh, use_timer=False)
     assert mesh_loss == pytest.approx(single_loss, rel=2e-3)
     assert mesh_val == pytest.approx(single_val, rel=2e-3)
+
+
+def test_grad_accum_epoch_param_update_cadence():
+    """[extension] grad_accum=2: the epoch runs (scan path), loss is
+    finite, and params only move on every second mini-step (checked via a
+    2-step manual drive)."""
+    cfg = SiameseTrainConfig(
+        batch_size=4, compute_dtype="float32", data_parallel=False,
+        grad_accum=2,
+    )
+    tr = SiameseTrainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0), (16, 16))
+    # Materialize before the step: the state is DONATED into _train_step,
+    # so device references into it are invalidated afterwards.
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    ds = tr._device_arrays(
+        type("D", (), {"img1": DS[0], "img2": DS[1], "labels": DS[2]})()
+    )
+    idx = tr._put_idx(np.arange(4))
+    state, loss = tr._train_step(
+        state, ds[0], ds[1], ds[2], idx, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(loss))
+    # After one mini-step, params are unchanged (accumulating).
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]), p0
+    )
+    state, loss = tr._train_step(
+        state, ds[0], ds[1], ds[2], idx, jax.random.PRNGKey(2)
+    )
+    assert float(
+        jnp.abs(jax.tree_util.tree_leaves(state.params)[0] - p0).max()
+    ) > 0.0
+    # Whole-epoch scan path also runs under accumulation.
+    state, epoch_loss = tr.train_epoch(
+        state, ds, N, jax.random.PRNGKey(3), np.random.RandomState(7)
+    )
+    assert np.isfinite(epoch_loss)

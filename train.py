@@ -113,6 +113,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "save-every cadence instead of every improving "
                         "epoch (avoids ~165 MB device->host pulls per "
                         "improvement on slow links)")
+    p.add_argument("--remat", action="store_true",
+                   help="[extension] rematerialize U-Net block activations "
+                        "in the backward pass (jax.checkpoint): fits "
+                        "larger batches/resolutions in HBM for ~1/3 more "
+                        "conv FLOPs; identical math")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="[extension] average gradients over K steps and "
+                        "apply one optimizer update (emulates "
+                        "batch-size*K beyond HBM; BN stats stay "
+                        "per-mini-batch)")
     p.add_argument("--async-ckpt", action="store_true",
                    help="[extension] write checkpoints on a background "
                         "thread (device-side snapshot first; the "
@@ -163,6 +173,8 @@ def main() -> None:
         concat_free=args.concat_free,
         opt_momentum_dtype=args.momentum_dtype,
         opt_flat_state=args.flat_opt_state,
+        grad_accum=args.grad_accum,
+        remat=args.remat,
         defer_best_ckpt=args.defer_best_ckpt,
         async_ckpt=args.async_ckpt,
         profile_dir=args.profile_dir,

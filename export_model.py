@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="Dtype the forward computes in inside the artifact")
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=["int8"],
+                   help="Weight-only quantization: int8 = symmetric "
+                        "per-output-channel conv kernels, fp activations "
+                        "(~4x smaller artifact and HBM weight footprint; "
+                        "see gan_aug_pfa_tpu/quantize.py)")
     p.add_argument("--backend", type=str, default=None,
                    help="Force the local jax platform for the export "
                         "process (e.g. cpu). Cross-platform lowering means "
@@ -100,22 +106,38 @@ def main() -> None:
     print(f"Exporting {arch} at {h}x{w} "
           f"(batch={'dynamic' if args.batch_size is None else args.batch_size}"
           f", platforms={args.platform or [jax.default_backend()]}, "
-          f"compute={args.compute_dtype})")
-    exported = serve.export_model(
-        arch, variables, h, w, n_channels=args.n_channels,
-        batch_size=args.batch_size, platforms=args.platform,
-        compute_dtype=args.compute_dtype,
-    )
-    out = args.output or (
-        os.path.splitext(args.checkpoint_path)[0] + ".ghlo"
-    )
-    serve.save_artifact(out, exported, {
+          f"compute={args.compute_dtype}"
+          f"{', quantize=' + args.quantize if args.quantize else ''})")
+    meta = {
         "arch": arch,
         "target_size": [h, w],
         "n_channels": args.n_channels,
         "compute_dtype": args.compute_dtype,
         "source_checkpoint": os.path.abspath(args.checkpoint_path),
-    })
+    }
+    weights = None
+    if args.quantize == "int8":
+        exported, weights, report = serve.export_model_quantized(
+            arch, variables, h, w, n_channels=args.n_channels,
+            batch_size=args.batch_size, platforms=args.platform,
+            compute_dtype=args.compute_dtype,
+        )
+        meta["quantize"] = "int8"
+        meta["quantize_report"] = report
+        print(f"  int8 weight-only: {report['quantized']} tensors "
+              f"quantized ({report['bytes_fp'] / 1e6:.1f} MB fp32 -> "
+              f"{report['bytes_q'] / 1e6:.1f} MB), "
+              f"{report['kept_fp']} kept fp")
+    else:
+        exported = serve.export_model(
+            arch, variables, h, w, n_channels=args.n_channels,
+            batch_size=args.batch_size, platforms=args.platform,
+            compute_dtype=args.compute_dtype,
+        )
+    out = args.output or (
+        os.path.splitext(args.checkpoint_path)[0] + ".ghlo"
+    )
+    serve.save_artifact(out, exported, meta, weights=weights)
     print(f"Saved serving artifact to {out} "
           f"({os.path.getsize(out) / 1e6:.1f} MB)")
 

@@ -41,6 +41,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 MAGIC = b"GAPTPUX1"
 
@@ -114,6 +115,20 @@ def _inference_fn(arch: str, model, variables: Dict[str, Any]):
     return fn
 
 
+def _weights_arg_fn(arch: str, model):
+    """Like _inference_fn but the (possibly int8-quantized) variables are a
+    runtime ARGUMENT, dequantized inside the program.  Passing weights as
+    arguments (not baked constants) is what keeps the int8 tensors int8 in
+    HBM — XLA cannot constant-fold the dequantize back to fp32."""
+    from . import quantize as qz
+
+    def apply(qvars, *inputs):
+        variables = qz.dequantize_tree(qvars, jnp.float32)
+        return _inference_fn(arch, model, variables)(*inputs)
+
+    return apply
+
+
 def _input_specs(arch: str, height: int, width: int, n_channels: int,
                  batch_size: Optional[int]) -> Tuple[Any, ...]:
     if batch_size is None:
@@ -153,10 +168,63 @@ def export_model(
     )(*specs)
 
 
-def save_artifact(path: str, exported, meta: Dict[str, Any]) -> None:
-    """Write magic + JSON header + serialized Exported, atomically."""
+def export_model_quantized(
+    arch: str,
+    variables: Dict[str, Any],
+    height: int,
+    width: int,
+    *,
+    n_channels: int = 3,
+    batch_size: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+    compute_dtype: str = "float32",
+    min_elems: Optional[int] = None,
+):
+    """Export with weight-only int8 quantization (see quantize.py).
+
+    Returns (exported, qtree, report): the program takes the quantized
+    weights pytree as its first runtime argument; save both with
+    ``save_artifact(path, exported, meta, weights=qtree)`` and the loader
+    reassembles the closure.  report is quantize_tree's byte/tensor count
+    summary (also recorded in the artifact header by the CLI)."""
+    from . import quantize as qz
+
+    kwargs = {} if min_elems is None else {"min_elems": min_elems}
+    qtree, report = qz.quantize_tree(variables, **kwargs)
+    model = _build_model(arch, n_channels, compute_dtype)
+    fn = _weights_arg_fn(arch, model)
+    specs = _input_specs(arch, height, width, n_channels, batch_size)
+    wspec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        qtree,
+    )
+    exported = jax.export.export(
+        jax.jit(fn),
+        platforms=list(platforms) if platforms is not None else None,
+    )(wspec, *specs)
+    return exported, qtree, report
+
+
+def save_artifact(path: str, exported, meta: Dict[str, Any],
+                  weights: Optional[Any] = None) -> None:
+    """Write magic + JSON header + [weights blob] + serialized Exported,
+    atomically.
+
+    ``weights`` (a pytree, normally the int8 qtree from
+    export_model_quantized) is msgpack-serialized between the header and
+    the program payload; its byte length is recorded in the header so the
+    loader can split the sections.  Plain (weight-baked) artifacts write
+    no weights section — format_version stays 1 for them so older loaders
+    keep working."""
+    from flax import serialization as fser
+
     payload = bytes(exported.serialize())
     header = dict(meta)
+    wblob = b""
+    if weights is not None:
+        wblob = fser.msgpack_serialize(weights)
+        header["weights_bytes"] = len(wblob)
+        header["format_version"] = 2
     header.setdefault("format_version", 1)
     header["platforms"] = list(exported.platforms)
     header["in_avals"] = [str(a) for a in exported.in_avals]
@@ -170,6 +238,7 @@ def save_artifact(path: str, exported, meta: Dict[str, Any]) -> None:
             f.write(MAGIC)
             f.write(struct.pack("<I", len(hdr)))
             f.write(hdr)
+            f.write(wblob)
             f.write(payload)
         os.replace(tmp, path)
     finally:
@@ -182,9 +251,11 @@ def save_artifact(path: str, exported, meta: Dict[str, Any]) -> None:
 
 def load_artifact(path: str, check_platform: bool = True
                   ) -> Tuple[Dict[str, Any], Any]:
-    """Load (header, Exported).  check_platform verifies the current jax
-    default backend is among the artifact's recorded platforms — a
-    mismatch would otherwise only surface as an opaque call-time error."""
+    """Load (header, Exported) — and, for quantized (format v2)
+    artifacts, the weights pytree under header["_weights"].
+    check_platform verifies the current jax default backend is among the
+    artifact's recorded platforms — a mismatch would otherwise only
+    surface as an opaque call-time error."""
     with open(path, "rb") as f:
         blob = f.read()
     if blob[: len(MAGIC)] != MAGIC:
@@ -196,7 +267,16 @@ def load_artifact(path: str, check_platform: bool = True
     (hlen,) = struct.unpack_from("<I", blob, off)
     off += 4
     header = json.loads(blob[off:off + hlen].decode("utf-8"))
-    exported = jax.export.deserialize(bytearray(blob[off + hlen:]))
+    off += hlen
+    wbytes = int(header.get("weights_bytes", 0))
+    if wbytes:
+        from flax import serialization as fser
+
+        header["_weights"] = fser.msgpack_restore(
+            bytes(blob[off:off + wbytes])
+        )
+        off += wbytes
+    exported = jax.export.deserialize(bytearray(blob[off:]))
     if check_platform:
         backend = jax.default_backend()
         if backend not in exported.platforms:
@@ -211,6 +291,18 @@ def load_artifact(path: str, check_platform: bool = True
 
 def load_serving_fn(path: str):
     """Load an artifact and return (header, callable) — the callable runs
-    the baked model on the current backend: probs = fn(img1, img2)."""
+    the baked model on the current backend: probs = fn(img1, img2).
+
+    Quantized artifacts are transparent to the caller: the int8 weights
+    are device-put once here (they live in HBM as int8) and closed over,
+    so the returned callable has the same (images-only) signature."""
     header, exported = load_artifact(path)
-    return header, exported.call
+    weights = header.pop("_weights", None)
+    if weights is None:
+        return header, exported.call
+    weights = jax.tree_util.tree_map(jax.device_put, weights)
+
+    def fn(*inputs):
+        return exported.call(weights, *inputs)
+
+    return header, fn

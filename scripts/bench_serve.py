@@ -34,6 +34,8 @@ def main() -> None:
                    help="Force the jax platform (e.g. cpu)")
     p.add_argument("--artifact", default=None,
                    help="Reuse an existing artifact instead of exporting")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="Weight-only int8 export (quantize.py)")
     args = p.parse_args()
 
     import jax
@@ -74,13 +76,27 @@ def main() -> None:
                 args.checkpoint_path, variables
             )
         t0 = time.perf_counter()
-        exported = serve.export_model(
-            args.arch, variables, h, w, compute_dtype=args.compute_dtype,
-            platforms=[jax.default_backend()],
-        )
+        weights = None
+        if args.quantize == "int8":
+            exported, weights, report = serve.export_model_quantized(
+                args.arch, variables, h, w,
+                compute_dtype=args.compute_dtype,
+                platforms=[jax.default_backend()],
+            )
+            print(f"int8: {report['quantized']} tensors, "
+                  f"{report['bytes_fp'] / 1e6:.1f} -> "
+                  f"{report['bytes_q'] / 1e6:.1f} MB")
+        else:
+            exported = serve.export_model(
+                args.arch, variables, h, w,
+                compute_dtype=args.compute_dtype,
+                platforms=[jax.default_backend()],
+            )
         export_s = time.perf_counter() - t0
-        path = f"/tmp/bench_serve_{args.arch}.ghlo"
-        serve.save_artifact(path, exported, {"arch": args.arch})
+        path = (f"/tmp/bench_serve_{args.arch}"
+                f"{'_int8' if args.quantize else ''}.ghlo")
+        serve.save_artifact(path, exported, {"arch": args.arch},
+                            weights=weights)
         print(f"export: {export_s:.1f}s, artifact "
               f"{os.path.getsize(path) / 1e6:.1f} MB")
 
@@ -113,7 +129,8 @@ def main() -> None:
         print(rows[-1])
     print(json.dumps({
         "arch": args.arch, "size": [h, w], "backend": jax.default_backend(),
-        "compute_dtype": args.compute_dtype, "rows": rows,
+        "compute_dtype": args.compute_dtype, "quantize": args.quantize,
+        "rows": rows,
     }))
 
 

@@ -68,11 +68,17 @@ def dequantize_array(node: Dict[str, Any], dtype=np.float32):
     """Inverse of quantize_array (up to the rounding error bound).
 
     Works on numpy or jax arrays — inside a jitted serving fn the inputs
-    are tracers and this lowers to one convert + one broadcast multiply,
-    which XLA fuses into the consuming conv."""
+    are tracers and this lowers to a fused convert + broadcast-multiply
+    (+ final cast) elementwise chain.  The multiply always runs in fp32 —
+    int8 values and the fp32 scales are exact there — and only the RESULT
+    is cast to ``dtype``, so a bfloat16 dequantize rounds once instead of
+    also rounding the scales (which would double the error)."""
     q = node[QKEY]
     s = node[SKEY]
-    return q.astype(dtype) * s.astype(dtype)
+    out = q.astype(np.float32) * s
+    if np.dtype(dtype) != np.dtype(np.float32):
+        out = out.astype(dtype)
+    return out
 
 
 def quantize_tree(

@@ -115,15 +115,24 @@ def _inference_fn(arch: str, model, variables: Dict[str, Any]):
     return fn
 
 
-def _weights_arg_fn(arch: str, model):
+def _weights_arg_fn(arch: str, model, compute_dtype: str = "float32"):
     """Like _inference_fn but the (possibly int8-quantized) variables are a
     runtime ARGUMENT, dequantized inside the program.  Passing weights as
     arguments (not baked constants) is what keeps the int8 tensors int8 in
-    HBM — XLA cannot constant-fold the dequantize back to fp32."""
+    HBM — XLA cannot constant-fold the dequantize back to fp32.
+
+    Quantized kernels are dequantized straight to the model's compute
+    dtype: under bfloat16 the model would cast them per use anyway, so
+    materializing fp32 first would double the dequantize's HBM write
+    traffic for no numeric gain (the multiply still runs in fp32 and
+    rounds once — quantize.dequantize_array).  Non-quantized leaves (BN
+    stats, biases) pass through untouched at full precision."""
     from . import quantize as qz
 
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
     def apply(qvars, *inputs):
-        variables = qz.dequantize_tree(qvars, jnp.float32)
+        variables = qz.dequantize_tree(qvars, dtype)
         return _inference_fn(arch, model, variables)(*inputs)
 
     return apply
@@ -192,7 +201,7 @@ def export_model_quantized(
     kwargs = {} if min_elems is None else {"min_elems": min_elems}
     qtree, report = qz.quantize_tree(variables, **kwargs)
     model = _build_model(arch, n_channels, compute_dtype)
-    fn = _weights_arg_fn(arch, model)
+    fn = _weights_arg_fn(arch, model, compute_dtype)
     specs = _input_specs(arch, height, width, n_channels, batch_size)
     wspec = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),

@@ -33,6 +33,25 @@ def test_quantize_array_error_bound():
     assert rel < 0.01
 
 
+def test_dequantize_bf16_rounds_once():
+    """bfloat16 dequant must equal round_to_bf16(fp32 dequant) — the
+    multiply runs in fp32 and only the result is cast, so the scales are
+    never themselves rounded to bf16 (which would double the error)."""
+    rng = np.random.RandomState(3)
+    w = rng.randn(3, 3, 16, 32).astype(np.float32)
+    node = qz.quantize_array(w)
+    f32 = np.asarray(qz.dequantize_array(node, np.float32))
+    bf16 = np.asarray(
+        qz.dequantize_array(
+            jax.tree_util.tree_map(jnp.asarray, node), jnp.bfloat16
+        )
+    )
+    assert bf16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        bf16, jnp.asarray(f32).astype(jnp.bfloat16)
+    )
+
+
 def test_quantize_array_zero_channel():
     w = np.zeros((3, 3, 8, 4), np.float32)
     w[..., 1] = 1.0

@@ -44,6 +44,12 @@ class DataConfig:
     # augmenting the pre-resized cache.  Applies to --tune trials and
     # --augment training.
     native_aug: bool = False
+    # Train-data placement: "hbm" (default) decodes once and keeps the
+    # corpus device-resident; "host" keeps the decoded corpus in host RAM
+    # and double-buffers batches to HBM per step; "decode" holds only file
+    # paths and re-decodes batches on demand in a thread pool (corpora
+    # larger than host RAM).  See data/stream.py.
+    stream: str = "hbm"
 
 
 @dataclasses.dataclass

@@ -103,7 +103,22 @@ def run_siamese_training(
         print("Warning: Validation dataset is empty. Check paths and data.")
 
     native = data_cfg.native_aug and data_cfg.augment
-    if native:
+    stream = data_cfg.stream if data_cfg.stream != "hbm" else None
+    if native and stream:
+        print(
+            "--stream has no native-resolution variant (dynamic per-sample "
+            "extents need the padded HBM cache); streaming the fixed-size "
+            "chain instead."
+        )
+        native = False
+    if stream:
+        from .data.stream import StreamingSource
+
+        train_ds = StreamingSource(
+            train_samples, data_cfg.target_size, cache=stream,
+            verbose=verbose,
+        )
+    elif native:
         from .data.loader import build_padded_native_dataset
 
         train_ds = build_padded_native_dataset(train_samples, verbose=verbose)
@@ -150,7 +165,7 @@ def run_siamese_training(
             if verbose:
                 print(f"Resumed from {path} at epoch {start_epoch}.")
 
-    dev_train = trainer._device_arrays(train_ds)
+    dev_train = None if stream else trainer._device_arrays(train_ds)
     dev_val = trainer._device_arrays(val_ds) if len(val_ds) else None
     epoch_rng = np.random.RandomState(train_cfg.seed)
     history = {"train_loss": [], "val_loss": []}
@@ -165,6 +180,8 @@ def run_siamese_training(
             checkpoint_dir, history, verbose,
         )
     _report_observability(trainer, train_cfg, verbose)
+    if stream:
+        train_ds.close()
     if verbose:
         print("Training finished.")
     return history
@@ -186,9 +203,14 @@ def _run_siamese_epochs(
             print(f"\nEpoch {epoch}/{train_cfg.num_epochs} - LR: {lr_now:.1e}")
         t0 = time.perf_counter()
         rng, erng = jax.random.split(rng)
-        state, train_loss = trainer.train_epoch(
-            state, dev_train, len(train_ds), erng, epoch_rng
-        )
+        if dev_train is None:  # streaming path (data/stream.py)
+            state, train_loss = trainer.train_epoch_streaming(
+                state, train_ds, erng, epoch_rng
+            )
+        else:
+            state, train_loss = trainer.train_epoch(
+                state, dev_train, len(train_ds), erng, epoch_rng
+            )
         val_loss = (
             trainer.validate(state, dev_val, len(val_ds)) if dev_val else 0.0
         )

@@ -174,14 +174,7 @@ class SiameseTrainer:
             )
         else:
             labels = jnp.take(dsl, idx, axis=0)
-            img1, img2, labels = self._constrain_spatial(img1, img2, labels)
-            if self.augment:
-                img1, img2, labels = augment_batch(
-                    rng, img1, img2, labels, self.aug_config,
-                    use_pallas=self.config.pallas_augment,
-                )
-            else:
-                img1, img2 = normalize(img1), normalize(img2)
+            return self._batch_step_impl(state, img1, img2, labels, rng)
         labels_f = labels.astype(jnp.float32)[..., None]
 
         def loss_fn(params):
@@ -197,6 +190,49 @@ class SiameseTrainer:
         )
         state = state.apply_gradients(grads=grads, batch_stats=new_bs)
         return state, loss
+
+    def _batch_step_impl(self, state: TrainState, img1, img2, labels, rng):
+        """Fixed-size step body on an already-materialized batch — shared
+        by the gather-from-HBM-cache steps above and the streaming path
+        (data/stream.py), so both are the same compiled math."""
+        img1, img2, labels = self._constrain_spatial(img1, img2, labels)
+        if self.augment:
+            img1, img2, labels = augment_batch(
+                rng, img1, img2, labels, self.aug_config,
+                use_pallas=self.config.pallas_augment,
+            )
+        else:
+            img1, img2 = normalize(img1), normalize(img2)
+        labels_f = labels.astype(jnp.float32)[..., None]
+
+        def loss_fn(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                img1, img2, train=True, mutable=["batch_stats"],
+            )
+            loss = self._loss(logits, labels_f)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+        return state, loss
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step_batch(self, state: TrainState, img1, img2, labels, rng):
+        """One optimization step on a host-staged batch (streaming path)."""
+        return self._batch_step_impl(state, img1, img2, labels, rng)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _eval_step_batch(self, state: TrainState, img1, img2, labels):
+        img1, img2 = normalize(img1), normalize(img2)
+        labels_f = labels.astype(jnp.float32)[..., None]
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            img1, img2, train=False,
+        )
+        return self._loss(logits, labels_f)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _train_step(self, state: TrainState, ds1, ds2, dsl, idx, rng):
@@ -381,6 +417,62 @@ class SiameseTrainer:
         return state, float(jnp.mean(jnp.concatenate(
             [jnp.atleast_1d(l) for l in losses]
         )))
+
+    def _put_batch(self, batch):
+        """Device-put a host-staged (img1, img2, labels) batch, sharding
+        the batch dim over 'data' when it divides evenly."""
+        img1, img2, labels = batch
+        if self.mesh is not None and img1.shape[0] % self.mesh.shape.get(
+            "data", 1
+        ) == 0:
+            from ..parallel.mesh import shard_batch_arrays
+
+            return shard_batch_arrays(self.mesh, img1, img2, labels)
+        return (
+            jax.device_put(img1),
+            jax.device_put(img2),
+            jax.device_put(labels) if labels is not None else None,
+        )
+
+    def train_epoch_streaming(
+        self,
+        state: TrainState,
+        source,
+        rng: jax.Array,
+        epoch_rng: np.random.RandomState,
+        depth: int = 2,
+    ) -> Tuple[TrainState, float]:
+        """One epoch fed from a data/stream.StreamingSource: shuffled full
+        pass, partial final batch included, epoch loss = mean of per-batch
+        losses — the same accounting as train_epoch.  Host batch assembly
+        and the H2D copies run `depth` batches ahead of the compiled step
+        (data/stream.prefetch_batches), so the chip never waits on decode."""
+        from ..data.stream import prefetch_batches
+
+        bs = self.config.batch_size
+        n = len(source)
+        perm = epoch_rng.permutation(n)
+        batches = [perm[s:s + bs] for s in range(0, n, bs)]
+        losses = []
+        for idx, dev_batch in prefetch_batches(
+            source, batches, self._put_batch, depth=depth
+        ):
+            img1, img2, labels = dev_batch
+            rng, step_rng = jax.random.split(rng)
+            if self.step_timer is not None:
+                with self.step_timer.step():
+                    state, loss = self._train_step_batch(
+                        state, img1, img2, labels, step_rng
+                    )
+                    loss.block_until_ready()
+            else:
+                state, loss = self._train_step_batch(
+                    state, img1, img2, labels, step_rng
+                )
+            losses.append(loss)
+        if not losses:
+            return state, 0.0
+        return state, float(jnp.mean(jnp.stack(losses)))
 
     def validate(self, state: TrainState, dev_ds, n_samples: int) -> float:
         bs = self.config.batch_size

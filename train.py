@@ -62,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "resolution and resize to target as chain step 5 "
                         "(the reference's augment-then-resize order); "
                         "applies to --tune and --augment")
+    p.add_argument("--stream", type=str, default="hbm",
+                   choices=["hbm", "host", "decode"],
+                   help="[extension] train-data placement: 'hbm' keeps the "
+                        "decoded corpus device-resident (default, fastest "
+                        "for small corpora); 'host' keeps it in host RAM "
+                        "and double-buffers batches to HBM per step "
+                        "(corpora larger than HBM); 'decode' re-decodes "
+                        "batches on demand (larger than host RAM)")
     p.add_argument("--resume", action="store_true",
                    help="[extension] resume from the last saved state")
     p.add_argument("--seed", type=int, default=0, help="[extension] PRNG seed")
@@ -149,6 +157,7 @@ def main() -> None:
         use_synthetic=args.use_synthetic,
         augment=args.augment,
         native_aug=args.native_aug,
+        stream=args.stream,
     )
     if args.tune:
         from gan_aug_pfa_tpu.tune import run_tuning

@@ -173,11 +173,13 @@ def run_siamese_training(
         trainer, train_cfg, train_cfg.batch_size, verbose
     )
 
-    with profiler_ctx:
+    from .utils.signals import GracefulShutdown
+
+    with profiler_ctx, GracefulShutdown() as stop:
         _run_siamese_epochs(
             trainer, train_cfg, state, scheduler, start_epoch, best_val_loss,
             dev_train, dev_val, train_ds, val_ds, epoch_rng, rng,
-            checkpoint_dir, history, verbose,
+            checkpoint_dir, history, verbose, stop,
         )
     _report_observability(trainer, train_cfg, verbose)
     if stream:
@@ -190,7 +192,7 @@ def run_siamese_training(
 def _run_siamese_epochs(
     trainer, train_cfg, state, scheduler, start_epoch, best_val_loss,
     dev_train, dev_val, train_ds, val_ds, epoch_rng, rng,
-    checkpoint_dir, history, verbose,
+    checkpoint_dir, history, verbose, stop=None,
 ):
     best_snapshot = None  # device-resident best model (defer_best_ckpt)
     # Background writes (async_ckpt): same call signature as
@@ -261,9 +263,10 @@ def _run_siamese_epochs(
                         f"Best model saved to {path} (Val Loss: "
                         f"{best_val_loss:.4f})"
                     )
+        preempted = stop is not None and stop.requested
         if train_cfg.defer_best_ckpt and best_snapshot is not None and (
             epoch % train_cfg.save_every == 0
-            or epoch == train_cfg.num_epochs
+            or epoch == train_cfg.num_epochs or preempted
         ):
             path = os.path.join(
                 checkpoint_dir, ckpt.checkpoint_name("best_model")
@@ -292,8 +295,10 @@ def _run_siamese_epochs(
         # the save_every cadence, not every epoch: serializing the full
         # train state (params + optimizer moments, ~0.5 GB) is a
         # device->host pull that would otherwise dominate wall clock on
-        # slow links.
-        if epoch % train_cfg.save_every == 0 or epoch == train_cfg.num_epochs:
+        # slow links.  Also saved when a preemption signal arrived
+        # (utils/signals.py), so --resume continues from THIS epoch.
+        if (epoch % train_cfg.save_every == 0
+                or epoch == train_cfg.num_epochs or preempted):
             save_checkpoint(
                 os.path.join(
                     checkpoint_dir, ckpt.checkpoint_name("last_state")
@@ -305,6 +310,13 @@ def _run_siamese_epochs(
                     "scheduler": scheduler.state_dict(),
                 },
             )
+        if preempted:
+            if verbose:
+                print(
+                    f"Preemption requested: resume state saved at epoch "
+                    f"{epoch}; relaunch with --resume to continue."
+                )
+            break
     if writer is not None:
         writer.wait()  # final write durable (and its errors raised) here
     history["best_val_loss"] = best_val_loss
@@ -376,6 +388,9 @@ def run_gan_training(
     writer = ckpt.AsyncCheckpointWriter() if gan_cfg.async_ckpt else None
     save_checkpoint = writer.save if writer else ckpt.save_checkpoint
 
+    from .utils.signals import GracefulShutdown
+
+    stop = profiler.enter_context(GracefulShutdown())
     for epoch in range(start_epoch, gan_cfg.num_epochs + 1):
         t0 = time.perf_counter()
         sg, sd, loss_d, loss_g = trainer.train_epoch(
@@ -402,7 +417,9 @@ def run_gan_training(
             )
             if verbose:
                 print(f"Saved sample image to {path}")
-        if epoch % gan_cfg.save_every == 0 or epoch == gan_cfg.num_epochs:
+        preempted = stop.requested
+        if (epoch % gan_cfg.save_every == 0 or epoch == gan_cfg.num_epochs
+                or preempted):
             pg = os.path.join(
                 checkpoint_dir,
                 ckpt.checkpoint_name(f"generator_epoch_{epoch}"),
@@ -432,6 +449,13 @@ def run_gan_training(
             )
             if verbose:
                 print(f"GAN Checkpoints saved for epoch {epoch}")
+        if preempted:
+            if verbose:
+                print(
+                    f"Preemption requested: GAN resume state saved at "
+                    f"epoch {epoch}; relaunch with --resume to continue."
+                )
+            break
     if writer is not None:
         writer.wait()
     profiler.close()

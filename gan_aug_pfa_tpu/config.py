@@ -149,6 +149,15 @@ class GANTrainConfig:
     checkpoint_dir: str = "gan_checkpoints"
     output_dir: str = "gan_samples"
     n_channels: int = 3
+    # Architecture knobs, matching the reference's constructor parameters
+    # (UNetGenerator(..., num_downs=7, ngf=64), models.py:149;
+    # NLayerDiscriminator(..., ndf=64, n_layers=3), models.py:212).  The
+    # defaults reproduce the reference models exactly; smaller values
+    # train pix2pix at lower resolutions (target must be >= 2**num_downs).
+    num_downs: int = 7
+    ngf: int = 64
+    ndf: int = 64
+    n_layers: int = 3
     seed: int = 0
     compute_dtype: str = "bfloat16"
     data_parallel: bool = True
@@ -205,6 +214,10 @@ class GenerateConfig:
     gan_checkpoint_dir: str = "gan_checkpoints"
     synthetic_data_dir: str = SYNTHETIC_DATA_DIR_DEFAULT
     n_channels: int = 3
+    # Generator architecture — must match the checkpoint being loaded
+    # (see GANTrainConfig.num_downs/ngf).
+    num_downs: int = 7
+    ngf: int = 64
     # float32 by default: generation is a tiny one-shot inference workload
     # and BASELINE.json asks for bit-comparable PNG outputs vs the
     # reference's fp32 torch path (scripts/check_png_bitparity.py);

@@ -492,6 +492,7 @@ def run_generate_synthetic(
 
     gan_cfg = GANTrainConfig(
         target_size=gen_cfg.target_size, n_channels=gen_cfg.n_channels,
+        num_downs=gen_cfg.num_downs, ngf=gen_cfg.ngf,
         compute_dtype=gen_cfg.compute_dtype,
     )
     trainer = GANTrainer(gan_cfg)

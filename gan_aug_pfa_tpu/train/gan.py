@@ -50,8 +50,14 @@ class GANTrainer:
             jnp.float32
         )
         nc = config.n_channels
-        self.generator = UNetGenerator(input_nc=nc, output_nc=nc, dtype=dtype)
-        self.discriminator = NLayerDiscriminator(input_nc=nc * 2, dtype=dtype)
+        self.generator = UNetGenerator(
+            input_nc=nc, output_nc=nc, num_downs=config.num_downs,
+            ngf=config.ngf, dtype=dtype,
+        )
+        self.discriminator = NLayerDiscriminator(
+            input_nc=nc * 2, ndf=config.ndf, n_layers=config.n_layers,
+            dtype=dtype,
+        )
         self.tx_g = make_optimizer(
             "adam", config.learning_rate_g, b1=config.beta1,
             mu_dtype=config.opt_momentum_dtype,

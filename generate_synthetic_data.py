@@ -37,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="[extension] generator inference dtype (float32 "
                         "default for bit-comparable PNG outputs)")
+    p.add_argument("--num-downs", type=int, default=7,
+                   help="[extension] generator U-Net depth; must match "
+                        "the checkpoint (train_gan.py --num-downs)")
+    p.add_argument("--ngf", type=int, default=64,
+                   help="[extension] generator base filter count; must "
+                        "match the checkpoint")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="[extension] disable the persistent XLA compilation cache")
     return p
@@ -61,6 +67,8 @@ def main() -> None:
         generator_checkpoint_name=args.generator_checkpoint_name,
         gan_checkpoint_dir=args.gan_checkpoint_dir,
         synthetic_data_dir=args.synthetic_data_dir,
+        num_downs=args.num_downs,
+        ngf=args.ngf,
         compute_dtype=args.compute_dtype,
     )
     from gan_aug_pfa_tpu.pipelines import run_generate_synthetic

@@ -56,6 +56,47 @@ def test_generator_param_count_and_range(rng):
     assert jnp.all(out >= -1.0) and jnp.all(out <= 1.0)
 
 
+def test_small_architecture_knobs(rng):
+    """num_downs/ngf/ndf/n_layers (the reference's constructor params,
+    models.py:149,212) scale the models down: a num_downs=5 generator
+    runs at 32x32, and an n_layers=2 discriminator's patch map follows
+    the PatchGAN receptive-field arithmetic."""
+    g = UNetGenerator(input_nc=3, output_nc=3, num_downs=5, ngf=16)
+    x = jax.random.normal(rng, (1, 32, 32, 3))
+    v = g.init(rng, x, train=False)
+    out = g.apply(v, x, train=False)
+    assert out.shape == (1, 32, 32, 3)
+
+    d = NLayerDiscriminator(input_nc=6, ndf=16, n_layers=2)
+    vd = d.init(rng, jnp.zeros((1, 64, 64, 6)), train=False)
+    out = d.apply(vd, jnp.zeros((1, 64, 64, 6)), train=False)
+    # 64 -> 32 -> 16 (strided) -> 15 (s1 k4 p1) -> 14 (s1 k4 p1)
+    assert out.shape == (1, 14, 14, 1)
+
+
+def test_gan_trainer_small_architecture_step(rng):
+    """GANTrainer honors the architecture knobs end to end: one compiled
+    D+G step on a num_downs=5 / 32x32 configuration."""
+    import numpy as np
+
+    from gan_aug_pfa_tpu.config import GANTrainConfig
+    from gan_aug_pfa_tpu.train import GANTrainer
+
+    cfg = GANTrainConfig(
+        batch_size=2, target_size=(32, 32), compute_dtype="float32",
+        num_downs=5, ngf=8, ndf=8, n_layers=2,
+    )
+    tr = GANTrainer(cfg)
+    sg, sd = tr.init_states(jax.random.PRNGKey(0))
+    r = np.random.RandomState(0)
+    a = jnp.asarray(r.rand(4, 32, 32, 3).astype(np.float32))
+    b = jnp.asarray(r.rand(4, 32, 32, 3).astype(np.float32))
+    sg, sd, ld, lg = tr._gan_step(
+        sg, sd, a, b, jnp.asarray([0, 1], dtype=jnp.int32)
+    )
+    assert jnp.isfinite(ld) and jnp.isfinite(lg)
+
+
 def test_discriminator_param_count_and_patch_shape(rng):
     d = NLayerDiscriminator(input_nc=6)
     # 256x256 input -> the golden 30x30 patch-logit map (BASELINE.md).

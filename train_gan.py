@@ -35,6 +35,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target-size", type=str, default="256x256")
     p.add_argument("--save-every", type=int, default=10)
     p.add_argument("--sample-every", type=int, default=5)
+    p.add_argument("--num-downs", type=int, default=7,
+                   help="[extension] generator U-Net depth (reference "
+                        "UNetGenerator num_downs constructor arg, "
+                        "models.py:149); target size must be >= 2**N")
+    p.add_argument("--ngf", type=int, default=64,
+                   help="[extension] generator base filter count")
+    p.add_argument("--ndf", type=int, default=64,
+                   help="[extension] discriminator base filter count")
+    p.add_argument("--n-layers", type=int, default=3,
+                   help="[extension] discriminator depth (reference "
+                        "NLayerDiscriminator n_layers, models.py:212)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute-dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
@@ -90,6 +101,10 @@ def main() -> None:
         sample_every=args.sample_every,
         checkpoint_dir=args.checkpoint_dir,
         output_dir=args.output_dir,
+        num_downs=args.num_downs,
+        ngf=args.ngf,
+        ndf=args.ndf,
+        n_layers=args.n_layers,
         seed=args.seed,
         compute_dtype=args.compute_dtype,
         data_parallel=not args.no_data_parallel,

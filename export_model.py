@@ -39,6 +39,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Target platform(s), e.g. tpu cpu (default: the "
                         "current jax backend)")
     p.add_argument("--n-channels", type=int, default=3)
+    p.add_argument("--num-downs", type=int, default=7,
+                   help="generator U-Net depth; must match the checkpoint "
+                        "(train_gan.py --num-downs)")
+    p.add_argument("--ngf", type=int, default=64,
+                   help="generator base filter count; must match the "
+                        "checkpoint")
+    p.add_argument("--ndf", type=int, default=64,
+                   help="discriminator base filter count; must match the "
+                        "checkpoint")
+    p.add_argument("--n-layers", type=int, default=3,
+                   help="discriminator depth; must match the checkpoint")
     p.add_argument("--compute-dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="Dtype the forward computes in inside the artifact")
@@ -86,9 +97,18 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    if arch == "generator":
+        arch_kwargs = {"num_downs": args.num_downs, "ngf": args.ngf}
+    elif arch == "discriminator":
+        arch_kwargs = {"ndf": args.ndf, "n_layers": args.n_layers}
+    else:
+        arch_kwargs = {}
+
     # Build a variables template of the right structure, then restore the
     # checkpoint into it (handles .msgpack and .pth alike).
-    model = serve._build_model(arch, args.n_channels, args.compute_dtype)
+    model = serve._build_model(
+        arch, args.n_channels, args.compute_dtype, arch_kwargs
+    )
     dummy = jnp.zeros((1, h, w, args.n_channels), jnp.float32)
     if arch == "siamese":
         template = model.init(jax.random.PRNGKey(0), dummy, dummy,
@@ -115,12 +135,14 @@ def main() -> None:
         "compute_dtype": args.compute_dtype,
         "source_checkpoint": os.path.abspath(args.checkpoint_path),
     }
+    if arch_kwargs:
+        meta["arch_kwargs"] = arch_kwargs
     weights = None
     if args.quantize == "int8":
         exported, weights, report = serve.export_model_quantized(
             arch, variables, h, w, n_channels=args.n_channels,
             batch_size=args.batch_size, platforms=args.platform,
-            compute_dtype=args.compute_dtype,
+            compute_dtype=args.compute_dtype, arch_kwargs=arch_kwargs,
         )
         meta["quantize"] = "int8"
         meta["quantize_report"] = report
@@ -132,7 +154,7 @@ def main() -> None:
         exported = serve.export_model(
             arch, variables, h, w, n_channels=args.n_channels,
             batch_size=args.batch_size, platforms=args.platform,
-            compute_dtype=args.compute_dtype,
+            compute_dtype=args.compute_dtype, arch_kwargs=arch_kwargs,
         )
     out = args.output or (
         os.path.splitext(args.checkpoint_path)[0] + ".ghlo"

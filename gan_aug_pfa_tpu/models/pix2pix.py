@@ -117,6 +117,13 @@ class UNetGenerator(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        if self.num_downs < 5:
+            # The outer structure is 5 strided downs (innermost + 3 fixed
+            # middles + outermost); smaller values would silently build a
+            # 5-down model anyway (range below is empty), so reject them.
+            raise ValueError(
+                f"UNetGenerator needs num_downs >= 5, got {self.num_downs}"
+            )
         ngf, dt = self.ngf, self.dtype
         block = UnetSkipBlock(ngf * 8, ngf * 8, innermost=True, dtype=dt)
         for _ in range(self.num_downs - 5):

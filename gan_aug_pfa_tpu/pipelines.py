@@ -391,74 +391,79 @@ def run_gan_training(
     from .utils.signals import GracefulShutdown
 
     stop = profiler.enter_context(GracefulShutdown())
-    for epoch in range(start_epoch, gan_cfg.num_epochs + 1):
-        t0 = time.perf_counter()
-        sg, sd, loss_d, loss_g = trainer.train_epoch(
-            sg, sd, dev, len(ds), epoch_rng
-        )
-        dt = time.perf_counter() - t0
-        history["loss_d"].append(loss_d)
-        history["loss_g"].append(loss_g)
-        if verbose:
-            print(
-                f"Epoch {epoch} - Avg Loss D: {loss_d:.4f}, Avg Loss G: "
-                f"{loss_g:.4f} ({dt:.2f}s)"
+    try:
+        for epoch in range(start_epoch, gan_cfg.num_epochs + 1):
+            t0 = time.perf_counter()
+            sg, sd, loss_d, loss_g = trainer.train_epoch(
+                sg, sd, dev, len(ds), epoch_rng
             )
-        if epoch % gan_cfg.sample_every == 0 or epoch == gan_cfg.num_epochs:
-            # Sample strip (reference save_samples, train_gan.py:78-92) on
-            # the fixed preview pair.
-            from .utils.viz import save_gan_sample_strip
-
-            i = preview_i
-            fake = trainer.generate(sg, dev[0][i:i + 1])
-            path = save_gan_sample_strip(
-                ds.img1[i], np.asarray(fake[0]), ds.img2[i],
-                ds.cities[i], epoch, output_dir,
-            )
-            if verbose:
-                print(f"Saved sample image to {path}")
-        preempted = stop.requested
-        if (epoch % gan_cfg.save_every == 0 or epoch == gan_cfg.num_epochs
-                or preempted):
-            pg = os.path.join(
-                checkpoint_dir,
-                ckpt.checkpoint_name(f"generator_epoch_{epoch}"),
-            )
-            pd = os.path.join(
-                checkpoint_dir,
-                ckpt.checkpoint_name(f"discriminator_epoch_{epoch}"),
-            )
-            # Epoch-numbered checkpoints are model-only (the reference
-            # saves bare state_dicts, train_gan.py:149-154); the last_*
-            # pair keeps optimizer state for resume.
-            save_checkpoint(pg, sg, extra={"epoch": epoch},
-                            model_only=True)
-            save_checkpoint(pd, sd, extra={"epoch": epoch},
-                            model_only=True)
-            save_checkpoint(
-                os.path.join(
-                    checkpoint_dir, ckpt.checkpoint_name("last_generator")
-                ),
-                sg, extra={"epoch": epoch},
-            )
-            save_checkpoint(
-                os.path.join(
-                    checkpoint_dir, ckpt.checkpoint_name("last_discriminator")
-                ),
-                sd, extra={"epoch": epoch},
-            )
-            if verbose:
-                print(f"GAN Checkpoints saved for epoch {epoch}")
-        if preempted:
+            dt = time.perf_counter() - t0
+            history["loss_d"].append(loss_d)
+            history["loss_g"].append(loss_g)
             if verbose:
                 print(
-                    f"Preemption requested: GAN resume state saved at "
-                    f"epoch {epoch}; relaunch with --resume to continue."
+                    f"Epoch {epoch} - Avg Loss D: {loss_d:.4f}, Avg Loss G: "
+                    f"{loss_g:.4f} ({dt:.2f}s)"
                 )
-            break
-    if writer is not None:
-        writer.wait()
-    profiler.close()
+            if epoch % gan_cfg.sample_every == 0 or epoch == gan_cfg.num_epochs:
+                # Sample strip (reference save_samples, train_gan.py:78-92) on
+                # the fixed preview pair.
+                from .utils.viz import save_gan_sample_strip
+
+                i = preview_i
+                fake = trainer.generate(sg, dev[0][i:i + 1])
+                path = save_gan_sample_strip(
+                    ds.img1[i], np.asarray(fake[0]), ds.img2[i],
+                    ds.cities[i], epoch, output_dir,
+                )
+                if verbose:
+                    print(f"Saved sample image to {path}")
+            preempted = stop.requested
+            if (epoch % gan_cfg.save_every == 0 or epoch == gan_cfg.num_epochs
+                    or preempted):
+                pg = os.path.join(
+                    checkpoint_dir,
+                    ckpt.checkpoint_name(f"generator_epoch_{epoch}"),
+                )
+                pd = os.path.join(
+                    checkpoint_dir,
+                    ckpt.checkpoint_name(f"discriminator_epoch_{epoch}"),
+                )
+                # Epoch-numbered checkpoints are model-only (the reference
+                # saves bare state_dicts, train_gan.py:149-154); the last_*
+                # pair keeps optimizer state for resume.
+                save_checkpoint(pg, sg, extra={"epoch": epoch},
+                                model_only=True)
+                save_checkpoint(pd, sd, extra={"epoch": epoch},
+                                model_only=True)
+                save_checkpoint(
+                    os.path.join(
+                        checkpoint_dir, ckpt.checkpoint_name("last_generator")
+                    ),
+                    sg, extra={"epoch": epoch},
+                )
+                save_checkpoint(
+                    os.path.join(
+                        checkpoint_dir, ckpt.checkpoint_name("last_discriminator")
+                    ),
+                    sd, extra={"epoch": epoch},
+                )
+                if verbose:
+                    print(f"GAN Checkpoints saved for epoch {epoch}")
+            if preempted:
+                if verbose:
+                    print(
+                        f"Preemption requested: GAN resume state saved at "
+                        f"epoch {epoch}; relaunch with --resume to continue."
+                    )
+                break
+        if writer is not None:
+            writer.wait()
+    finally:
+        # Exceptions must still restore the signal handlers and stop
+        # the profiler (a leaked GracefulShutdown would swallow the
+        # process's next ctrl-C).
+        profiler.close()
     _report_observability(trainer, gan_cfg, verbose)
     if verbose:
         print("GAN Training finished.")

@@ -69,21 +69,27 @@ def arch_from_stem(path: str) -> Optional[str]:
 # model construction + weight-baked inference fns
 
 
-def _build_model(arch: str, n_channels: int, compute_dtype: str):
+def _build_model(arch: str, n_channels: int, compute_dtype: str,
+                 arch_kwargs: Optional[Dict[str, Any]] = None):
+    """arch_kwargs passes the architecture knobs of non-default
+    checkpoints (num_downs/ngf for the generator, ndf/n_layers for the
+    discriminator — the GANTrainConfig knobs)."""
     from .models.pix2pix import NLayerDiscriminator, UNetGenerator
     from .models.siamese_unet import SiameseUNet
 
+    kw = dict(arch_kwargs or {})
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     if arch == "siamese":
         # batched_encoder is eval-mode exact (running-stat BN) and ~25%
         # faster — the evaluation pipelines' default (pipelines.py).
         return SiameseUNet(n_channels=n_channels, dtype=dtype,
-                           batched_encoder=True)
+                           batched_encoder=True, **kw)
     if arch == "generator":
         return UNetGenerator(input_nc=n_channels, output_nc=n_channels,
-                             dtype=dtype)
+                             dtype=dtype, **kw)
     if arch == "discriminator":
-        return NLayerDiscriminator(input_nc=n_channels * 2, dtype=dtype)
+        return NLayerDiscriminator(input_nc=n_channels * 2, dtype=dtype,
+                                   **kw)
     raise ValueError(f"unknown arch {arch!r}; expected one of {ARCHS}")
 
 
@@ -162,13 +168,14 @@ def export_model(
     batch_size: Optional[int] = None,
     platforms: Optional[Sequence[str]] = None,
     compute_dtype: str = "float32",
+    arch_kwargs: Optional[Dict[str, Any]] = None,
 ):
     """Export one arch as a jax.export.Exported with weights baked in.
 
     batch_size=None (default) exports a symbolic batch dimension.
     platforms=None records the current default backend only.
     """
-    model = _build_model(arch, n_channels, compute_dtype)
+    model = _build_model(arch, n_channels, compute_dtype, arch_kwargs)
     fn = _inference_fn(arch, model, variables)
     specs = _input_specs(arch, height, width, n_channels, batch_size)
     return jax.export.export(
@@ -188,6 +195,7 @@ def export_model_quantized(
     platforms: Optional[Sequence[str]] = None,
     compute_dtype: str = "float32",
     min_elems: Optional[int] = None,
+    arch_kwargs: Optional[Dict[str, Any]] = None,
 ):
     """Export with weight-only int8 quantization (see quantize.py).
 
@@ -200,7 +208,7 @@ def export_model_quantized(
 
     kwargs = {} if min_elems is None else {"min_elems": min_elems}
     qtree, report = qz.quantize_tree(variables, **kwargs)
-    model = _build_model(arch, n_channels, compute_dtype)
+    model = _build_model(arch, n_channels, compute_dtype, arch_kwargs)
     fn = _weights_arg_fn(arch, model, compute_dtype)
     specs = _input_specs(arch, height, width, n_channels, batch_size)
     wspec = jax.tree_util.tree_map(

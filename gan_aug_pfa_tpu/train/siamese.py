@@ -175,21 +175,7 @@ class SiameseTrainer:
         else:
             labels = jnp.take(dsl, idx, axis=0)
             return self._batch_step_impl(state, img1, img2, labels, rng)
-        labels_f = labels.astype(jnp.float32)[..., None]
-
-        def loss_fn(params):
-            logits, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                img1, img2, train=True, mutable=["batch_stats"],
-            )
-            loss = self._loss(logits, labels_f)
-            return loss, mutated["batch_stats"]
-
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
-        state = state.apply_gradients(grads=grads, batch_stats=new_bs)
-        return state, loss
+        return self._update(state, img1, img2, labels)
 
     def _batch_step_impl(self, state: TrainState, img1, img2, labels, rng):
         """Fixed-size step body on an already-materialized batch — shared
@@ -203,6 +189,11 @@ class SiameseTrainer:
             )
         else:
             img1, img2 = normalize(img1), normalize(img2)
+        return self._update(state, img1, img2, labels)
+
+    def _update(self, state: TrainState, img1, img2, labels):
+        """Forward + backward + optimizer update on a prepared (augmented/
+        normalized) batch — the shared tail of every train-step variant."""
         labels_f = labels.astype(jnp.float32)[..., None]
 
         def loss_fn(params):
@@ -223,16 +214,6 @@ class SiameseTrainer:
     def _train_step_batch(self, state: TrainState, img1, img2, labels, rng):
         """One optimization step on a host-staged batch (streaming path)."""
         return self._batch_step_impl(state, img1, img2, labels, rng)
-
-    @functools.partial(jax.jit, static_argnums=0)
-    def _eval_step_batch(self, state: TrainState, img1, img2, labels):
-        img1, img2 = normalize(img1), normalize(img2)
-        labels_f = labels.astype(jnp.float32)[..., None]
-        logits = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            img1, img2, train=False,
-        )
-        return self._loss(logits, labels_f)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _train_step(self, state: TrainState, ds1, ds2, dsl, idx, rng):

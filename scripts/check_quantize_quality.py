@@ -32,6 +32,10 @@ def main() -> None:
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--num-downs", type=int, default=7,
+                   help="generator depth; must match the checkpoint")
+    p.add_argument("--ngf", type=int, default=64,
+                   help="generator base filters; must match the checkpoint")
     args = p.parse_args()
 
     import jax
@@ -60,6 +64,7 @@ def main() -> None:
 
     trainer = GANTrainer(GANTrainConfig(
         target_size=size, compute_dtype=args.compute_dtype,
+        num_downs=args.num_downs, ngf=args.ngf,
     ))
     sg, _ = trainer.init_states(jax.random.PRNGKey(0))
     sg = ckpt.restore_checkpoint(args.checkpoint_path, sg)

@@ -83,6 +83,43 @@ def test_siamese_export_matches_eval_path(tmp_path):
     assert got.min() >= 0.0 and got.max() <= 1.0
 
 
+def test_export_non_default_architecture(tmp_path):
+    """arch_kwargs plumbs the GAN architecture knobs into the export path
+    (a --num-downs 5 / --ngf 8 checkpoint must export and serve)."""
+    from gan_aug_pfa_tpu.models.pix2pix import UNetGenerator
+
+    model = UNetGenerator(input_nc=3, output_nc=3, num_downs=5, ngf=8)
+    rng = jax.random.PRNGKey(0)
+    h = w = 32
+    variables = model.init(rng, jnp.zeros((1, h, w, 3)), train=False)
+
+    exported = serve.export_model(
+        "generator", variables, h, w,
+        arch_kwargs={"num_downs": 5, "ngf": 8},
+    )
+    path = str(tmp_path / "gen_small.ghlo")
+    serve.save_artifact(
+        path, exported,
+        {"arch": "generator", "arch_kwargs": {"num_downs": 5, "ngf": 8}},
+    )
+    header, fn = serve.load_serving_fn(path)
+    assert header["arch_kwargs"] == {"num_downs": 5, "ngf": 8}
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1), (2, h, w, 3), minval=0, maxval=1
+    )
+    got = np.asarray(fn(x))
+    assert got.shape == (2, h, w, 3)
+
+
+def test_generator_num_downs_validated():
+    from gan_aug_pfa_tpu.models.pix2pix import UNetGenerator
+
+    with pytest.raises(ValueError, match="num_downs >= 5"):
+        UNetGenerator(input_nc=3, output_nc=3, num_downs=4).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), train=False
+        )
+
+
 def test_bad_magic_rejected(tmp_path):
     p = tmp_path / "junk.ghlo"
     p.write_bytes(b"NOTMAGIC" + b"\x00" * 16)

@@ -42,7 +42,11 @@ def test_source_modes_match_resident_cache(samples):
         src.close()
 
 
-def test_decode_mode_skips_unreadable(samples, tmp_path):
+def test_decode_mode_raises_on_unreadable(samples, tmp_path):
+    """Streaming cannot skip samples mid-epoch (batch shapes would shift);
+    an unreadable file names itself in a RuntimeError at batch time.  The
+    pipeline never hits this: the scanner's readability pass already
+    dropped such files."""
     import dataclasses
 
     bad = dataclasses.replace(
@@ -51,8 +55,21 @@ def test_decode_mode_skips_unreadable(samples, tmp_path):
     src = StreamingSource(
         [bad] + samples, SIZE, cache="decode", verbose=False
     )
-    assert len(src) == len(samples)
-    assert "badcity" not in src.cities
+    assert len(src) == len(samples) + 1  # no decode pass at construction
+    with pytest.raises(RuntimeError, match="badcity"):
+        src.batch(np.array([0]))
+    src.close()
+
+
+def test_decode_mode_small_worker_pool_no_deadlock(samples):
+    """Batch staging and per-sample decode use separate pools: workers=1
+    with prefetch depth 2 must still make progress."""
+    src = StreamingSource(
+        samples, SIZE, cache="decode", workers=1, verbose=False
+    )
+    batches = [np.array([0, 1]), np.array([2]), np.array([3])]
+    seen = list(prefetch_batches(src, batches, lambda b: b, depth=2))
+    assert len(seen) == 3
     src.close()
 
 
@@ -64,6 +81,26 @@ def test_prefetch_preserves_order_and_batches(samples):
     for want, (got_idx, batch) in zip(batches, seen):
         np.testing.assert_array_equal(want, got_idx)
         np.testing.assert_array_equal(batch[0], src.batch(want)[0])
+    src.close()
+
+
+def test_prefetch_depth_bounds_staged_batches(samples):
+    """At most `depth` device batches may be staged ahead of the consumer
+    — a slow consumer must not let the whole epoch pile up in HBM."""
+    src = StreamingSource(samples, SIZE, cache="host", verbose=False)
+    batches = [np.array([i % len(src)]) for i in range(12)]
+    depth = 2
+    puts = consumed = 0
+
+    def put_fn(b):
+        nonlocal puts
+        puts += 1
+        assert puts - consumed <= depth, "staged beyond the depth bound"
+        return b
+
+    for _ in prefetch_batches(src, batches, put_fn, depth=depth):
+        consumed += 1
+    assert consumed == 12 and puts == 12
     src.close()
 
 

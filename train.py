@@ -160,6 +160,12 @@ def main() -> None:
         stream=args.stream,
     )
     if args.tune:
+        if args.stream != "hbm":
+            print(
+                "--stream applies only to main training; tuning trials "
+                "use the HBM-resident cache (their datasets are rebuilt "
+                "per trial at tuning batch sizes)."
+            )
         from gan_aug_pfa_tpu.tune import run_tuning
 
         run_tuning(data_cfg, n_trials=args.n_trials,

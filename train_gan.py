@@ -38,7 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-downs", type=int, default=7,
                    help="[extension] generator U-Net depth (reference "
                         "UNetGenerator num_downs constructor arg, "
-                        "models.py:149); target size must be >= 2**N")
+                        "models.py:149); must be >= 5, and target size "
+                        "must be >= 2**N")
     p.add_argument("--ngf", type=int, default=64,
                    help="[extension] generator base filter count")
     p.add_argument("--ndf", type=int, default=64,

@@ -349,7 +349,17 @@ def run_gan_training(
         print("Error: GAN Training dataset is empty. Check dataset path and "
               "structure.")
         return None
-    ds = build_cached_dataset(samples, gan_cfg.target_size, verbose=verbose)
+    stream = data_cfg.stream if data_cfg.stream != "hbm" else None
+    if stream:
+        from .data.stream import StreamingSource
+
+        ds = StreamingSource(
+            samples, gan_cfg.target_size, cache=stream, verbose=verbose
+        )
+    else:
+        ds = build_cached_dataset(
+            samples, gan_cfg.target_size, verbose=verbose
+        )
     if verbose:
         print(f"GAN Dataset loaded: {len(ds)} train samples.")
 
@@ -367,7 +377,9 @@ def run_gan_training(
             if verbose:
                 print(f"Resumed GAN from epoch {start_epoch}.")
 
-    if mesh is not None:
+    if stream:
+        dev = None
+    elif mesh is not None:
         from .parallel.mesh import put_dataset_global
 
         dev = put_dataset_global(mesh, ds.img1, ds.img2)
@@ -394,9 +406,14 @@ def run_gan_training(
     try:
         for epoch in range(start_epoch, gan_cfg.num_epochs + 1):
             t0 = time.perf_counter()
-            sg, sd, loss_d, loss_g = trainer.train_epoch(
-                sg, sd, dev, len(ds), epoch_rng
-            )
+            if dev is None:  # streaming path (data/stream.py)
+                sg, sd, loss_d, loss_g = trainer.train_epoch_streaming(
+                    sg, sd, ds, epoch_rng
+                )
+            else:
+                sg, sd, loss_d, loss_g = trainer.train_epoch(
+                    sg, sd, dev, len(ds), epoch_rng
+                )
             dt = time.perf_counter() - t0
             history["loss_d"].append(loss_d)
             history["loss_g"].append(loss_g)
@@ -411,9 +428,15 @@ def run_gan_training(
                 from .utils.viz import save_gan_sample_strip
 
                 i = preview_i
-                fake = trainer.generate(sg, dev[0][i:i + 1])
+                if dev is None:
+                    p1, p2, _ = ds.batch(np.array([i]))
+                    fake = trainer.generate(sg, jax.device_put(p1))
+                    strip1, strip2 = p1[0], p2[0]
+                else:
+                    fake = trainer.generate(sg, dev[0][i:i + 1])
+                    strip1, strip2 = ds.img1[i], ds.img2[i]
                 path = save_gan_sample_strip(
-                    ds.img1[i], np.asarray(fake[0]), ds.img2[i],
+                    strip1, np.asarray(fake[0]), strip2,
                     ds.cities[i], epoch, output_dir,
                 )
                 if verbose:
@@ -465,6 +488,8 @@ def run_gan_training(
         # process's next ctrl-C).
         profiler.close()
     _report_observability(trainer, gan_cfg, verbose)
+    if stream:
+        ds.close()
     if verbose:
         print("GAN Training finished.")
     history["state_g"] = sg

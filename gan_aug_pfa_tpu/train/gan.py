@@ -156,8 +156,24 @@ class GANTrainer:
                        idx):
         """Fused gather + D-step + G-step (traced body).  ds1/ds2: full
         dataset arrays in [0,1]; idx: (B,) batch indices."""
-        real_a = normalize(jnp.take(ds1, idx, axis=0))
-        real_b = normalize(jnp.take(ds2, idx, axis=0))
+        return self._gan_batch_impl(
+            state_g, state_d,
+            jnp.take(ds1, idx, axis=0), jnp.take(ds2, idx, axis=0),
+        )
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _gan_step_batch(self, state_g: GANState, state_d: GANState,
+                        img1, img2):
+        """One D+G step on a host-staged [0,1] batch (streaming path)."""
+        return self._gan_batch_impl(state_g, state_d, img1, img2)
+
+    def _gan_batch_impl(self, state_g: GANState, state_d: GANState,
+                        a01, b01):
+        """D-step + G-step on an already-materialized [0,1] batch — shared
+        by the gather-from-HBM steps and the streaming path, so both are
+        the same compiled math."""
+        real_a = normalize(a01)
+        real_b = normalize(b01)
         real_a, real_b = self._constrain_spatial(real_a, real_b)
 
         # --- D step -----------------------------------------------------
@@ -300,6 +316,63 @@ class GANTrainer:
                     state_g, state_d, ds1, ds2, idx
                 )
                 lg.block_until_ready()
+            losses_d.append(ld)
+            losses_g.append(lg)
+        return (
+            state_g,
+            state_d,
+            float(jnp.mean(jnp.stack(losses_d))),
+            float(jnp.mean(jnp.stack(losses_g))),
+        )
+
+    def _put_batch(self, batch):
+        """Device-put a host-staged (img1, img2, _) batch (labels, if any,
+        are not shipped — the GAN step never reads them), sharding the
+        batch dim over 'data' when it divides evenly."""
+        img1, img2 = batch[0], batch[1]
+        if self.mesh is not None and img1.shape[0] % self.mesh.shape.get(
+            "data", 1
+        ) == 0:
+            from ..parallel.mesh import shard_batch_arrays
+
+            return shard_batch_arrays(self.mesh, img1, img2)
+        return jax.device_put(img1), jax.device_put(img2)
+
+    def train_epoch_streaming(
+        self,
+        state_g: GANState,
+        state_d: GANState,
+        source,
+        epoch_rng: np.random.RandomState,
+        depth: int = 2,
+    ):
+        """One GAN epoch fed from a data/stream.StreamingSource: shuffled
+        drop_last=True batches (reference train_gan.py:135), per-batch
+        loss means — the same accounting as train_epoch.  Batch assembly
+        and H2D staging run `depth` batches ahead (data/stream.py)."""
+        from ..data.stream import prefetch_batches
+
+        bs = self.config.batch_size
+        n = len(source)
+        n_full = (n // bs) * bs
+        if n_full == 0:
+            return state_g, state_d, 0.0, 0.0
+        perm = epoch_rng.permutation(n)
+        batches = [perm[s:s + bs] for s in range(0, n_full, bs)]
+        losses_d, losses_g = [], []
+        for _, (img1, img2) in prefetch_batches(
+            source, batches, self._put_batch, depth=depth
+        ):
+            if self.step_timer is not None:
+                with self.step_timer.step():
+                    state_g, state_d, ld, lg = self._gan_step_batch(
+                        state_g, state_d, img1, img2
+                    )
+                    lg.block_until_ready()
+            else:
+                state_g, state_d, ld, lg = self._gan_step_batch(
+                    state_g, state_d, img1, img2
+                )
             losses_d.append(ld)
             losses_g.append(lg)
         return (

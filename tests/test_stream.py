@@ -201,6 +201,49 @@ def test_streaming_on_mesh_matches_single_device(samples):
 
 
 @pytest.mark.slow
+def test_gan_streaming_epoch_matches_resident(samples):
+    """The GAN streaming epoch equals the resident scan epoch (drop_last
+    batches, same shuffle, same compiled math).  Uses a num_downs=5/ngf=8
+    architecture so the test compiles at 16x16."""
+    import jax.numpy as jnp
+
+    from gan_aug_pfa_tpu.config import GANTrainConfig
+    from gan_aug_pfa_tpu.data.loader import build_cached_dataset
+    from gan_aug_pfa_tpu.train import GANTrainer
+
+    cfg = GANTrainConfig(
+        batch_size=2, target_size=(32, 32), compute_dtype="float32",
+        num_downs=5, ngf=8, ndf=8, n_layers=2,
+    )
+    size = (32, 32)
+    ds = build_cached_dataset(samples, size, verbose=False)
+
+    tr_a = GANTrainer(cfg)
+    sg_a, sd_a = tr_a.init_states(jax.random.PRNGKey(0))
+    dev = (jnp.asarray(ds.img1), jnp.asarray(ds.img2))
+    sg_a, sd_a, ld_a, lg_a = tr_a.train_epoch(
+        sg_a, sd_a, dev, len(ds), np.random.RandomState(3)
+    )
+
+    tr_b = GANTrainer(cfg)
+    sg_b, sd_b = tr_b.init_states(jax.random.PRNGKey(0))
+    src = StreamingSource(samples, size, cache="host", verbose=False)
+    sg_b, sd_b, ld_b, lg_b = tr_b.train_epoch_streaming(
+        sg_b, sd_b, src, np.random.RandomState(3)
+    )
+    src.close()
+
+    assert ld_a == pytest.approx(ld_b, rel=2e-3)
+    assert lg_a == pytest.approx(lg_b, rel=2e-3)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sg_a.params),
+        jax.tree_util.tree_leaves(sg_b.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=3.5e-4)
+
+
+@pytest.mark.slow
 def test_pipeline_stream_cli(oscd_tree):
     """End-to-end: run_siamese_training with stream='decode' trains and
     checkpoints like the resident path."""

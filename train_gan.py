@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute-dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-data-parallel", action="store_true")
+    p.add_argument("--stream", type=str, default="hbm",
+                   choices=["hbm", "host", "decode"],
+                   help="[extension] train-data placement: 'hbm' keeps the "
+                        "decoded corpus device-resident (default); 'host' "
+                        "keeps it in host RAM, staging batches per step; "
+                        "'decode' re-decodes batches on demand")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--batched-disc", action="store_true",
                    help="one 2B discriminator pass over [real|fake] (~8%% "
@@ -89,6 +95,7 @@ def main() -> None:
         root_dir=args.root_dir,
         dataset_subdir=args.dataset_subdir,
         target_size=target_size,
+        stream=args.stream,
     )
     gan_cfg = GANTrainConfig(
         batch_size=args.batch_size,

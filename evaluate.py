@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="[extension] also report macro-F1/IoU over a "
                         "0.05..0.95 threshold grid and the best operating "
                         "point")
+    p.add_argument("--stream", type=str, default="hbm",
+                   choices=["hbm", "host", "decode"],
+                   help="[extension] corpus placement: 'hbm' stages the "
+                        "whole corpus device-resident (default); 'host' "
+                        "keeps it in host RAM, staging per batch; 'decode' "
+                        "re-decodes per batch (corpora beyond host RAM)")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="[extension] disable the persistent XLA compilation cache")
     return p
@@ -79,6 +85,7 @@ def main() -> None:
         root_dir=args.root_dir,
         dataset_subdir=args.dataset_subdir,
         target_size=target_size,
+        stream=args.stream,
     )
     eval_cfg = EvalConfig(
         batch_size=args.batch_size,

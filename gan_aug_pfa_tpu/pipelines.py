@@ -518,7 +518,21 @@ def run_generate_synthetic(
         print("Error: Original training dataset is empty. Cannot generate "
               "synthetic data.")
         return 0
-    ds = build_cached_dataset(samples, gen_cfg.target_size, verbose=verbose)
+    stream = data_cfg.stream if data_cfg.stream != "hbm" else None
+    if stream:
+        from .data.stream import StreamingSource
+
+        src = StreamingSource(
+            samples, gen_cfg.target_size, cache=stream, verbose=verbose
+        )
+        ds = None
+        n_total, cities = len(src), src.cities
+    else:
+        src = None
+        ds = build_cached_dataset(
+            samples, gen_cfg.target_size, verbose=verbose
+        )
+        n_total, cities = len(ds), ds.cities
 
     gan_cfg = GANTrainConfig(
         target_size=gen_cfg.target_size, n_channels=gen_cfg.n_channels,
@@ -543,14 +557,21 @@ def run_generate_synthetic(
     os.makedirs(os.path.join(out_base, "labels"), exist_ok=True)
 
     bs = gen_cfg.batch_size
-    dev1 = jax.device_put(ds.img1)
+    dev1 = None if stream else jax.device_put(ds.img1)
     count = 0
-    for i in range(0, len(ds), bs):
-        batch = dev1[i:i + bs]
+    for i in range(0, n_total, bs):
+        if stream:
+            # Large-corpus path: decode/stage only this batch.
+            h1, _, hlb = src.batch(np.arange(i, min(i + bs, n_total)))
+            batch = jax.device_put(h1)
+        else:
+            h1 = hlb = None
+            batch = dev1[i:i + bs]
+        n_batch = batch.shape[0]
         fake = np.asarray(trainer.generate(sg, batch))  # [0,1]
-        for j in range(batch.shape[0]):
+        for j in range(n_batch):
             sample_idx = i + j
-            city = ds.cities[sample_idx]
+            city = cities[sample_idx]
             img_dir = os.path.join(out_base, "images", city)
             lbl_dir = os.path.join(out_base, "labels", city)
             os.makedirs(img_dir, exist_ok=True)
@@ -563,7 +584,9 @@ def run_generate_synthetic(
             # BELOW exact integer pixel values, so byte-for-byte parity
             # requires replaying it (scripts/check_png_bitparity.py showed
             # up to 84% of pixels one LSB high without it).
-            img1 = ds.img1[sample_idx].astype(np.float32)
+            img1 = (h1[j] if stream else ds.img1[sample_idx]).astype(
+                np.float32
+            )
             img1 = (img1 * np.float32(2.0) - np.float32(1.0)) * np.float32(
                 0.5
             ) + np.float32(0.5)
@@ -573,11 +596,15 @@ def run_generate_synthetic(
             Image.fromarray(float_to_uint8(fake[j])).save(
                 os.path.join(img_dir, f"img2_synth_{sample_idx}.png")
             )
-            lbl = (ds.labels[sample_idx].astype(np.uint8)) * 255
+            lbl = (
+                hlb[j] if stream else ds.labels[sample_idx]
+            ).astype(np.uint8) * 255
             Image.fromarray(lbl, mode="L").save(
                 os.path.join(lbl_dir, f"cm_synth_{sample_idx}.png")
             )
             count += 1
+    if stream:
+        src.close()
     if verbose:
         print(
             f"\nSynthetic data generation finished. Saved {count} samples "
@@ -611,7 +638,21 @@ def run_evaluation(
         print("Error: No validation samples found. Check dataset paths and "
               "structure.")
         return None
-    ds = build_cached_dataset(samples, eval_cfg.target_size, verbose=verbose)
+    stream = data_cfg.stream if data_cfg.stream != "hbm" else None
+    if stream:
+        from .data.stream import StreamingSource
+
+        src = StreamingSource(
+            samples, eval_cfg.target_size, cache=stream, verbose=verbose
+        )
+        ds = None
+        n_total, cities = len(src), src.cities
+    else:
+        src = None
+        ds = build_cached_dataset(
+            samples, eval_cfg.target_size, verbose=verbose
+        )
+        n_total, cities = len(ds), ds.cities
 
     # batched_encoder is exactly equivalent in eval mode (running-stat BN;
     # tests/test_models.py) and ~25% faster — safe default for inference.
@@ -641,7 +682,7 @@ def run_evaluation(
         print(f"Ensembling {len(states)} checkpoints (averaged sigmoid "
               f"probabilities).")
 
-    dev = trainer._device_arrays(ds)
+    dev = None if stream else trainer._device_arrays(ds)
     bs = eval_cfg.batch_size
     total = {k: 0.0 for k in METRIC_KEYS}
     per_city: Dict[str, Dict[str, float]] = {}
@@ -660,11 +701,17 @@ def run_evaluation(
 
         sweep_f1 = np.zeros(len(sweep_grid))
         sweep_iou = np.zeros(len(sweep_grid))
-    for start in range(0, len(ds), bs):
-        idx = np.arange(start, min(start + bs, len(ds)))
-        img1 = dev[0][idx[0]:idx[-1] + 1]
-        img2 = dev[1][idx[0]:idx[-1] + 1]
-        labels = ds.labels[idx[0]:idx[-1] + 1]
+    for start in range(0, n_total, bs):
+        idx = np.arange(start, min(start + bs, n_total))
+        if stream:
+            # Large-corpus path: only this batch is staged to HBM.
+            h1, h2, labels = src.batch(idx)
+            img1, img2 = jax.device_put(h1), jax.device_put(h2)
+        else:
+            h1 = h2 = None
+            img1 = dev[0][idx[0]:idx[-1] + 1]
+            img2 = dev[1][idx[0]:idx[-1] + 1]
+            labels = ds.labels[idx[0]:idx[-1] + 1]
         prob_sum = trainer.predict(states[0], img1, img2)
         for s in states[1:]:
             prob_sum = prob_sum + trainer.predict(s, img1, img2)
@@ -692,7 +739,7 @@ def run_evaluation(
             sweep_f1 += np.asarray(sm["f1"]).sum(axis=1)
             sweep_iou += np.asarray(sm["iou"]).sum(axis=1)
         for k_in_batch, sample_i in enumerate(idx):
-            city = ds.cities[sample_i]
+            city = cities[sample_i]
             if city not in per_city:
                 per_city[city] = {k: 0.0 for k in METRIC_KEYS}
                 per_city_counts[city] = 0
@@ -704,12 +751,15 @@ def run_evaluation(
             n += 1
             if visualized < eval_cfg.num_visualizations:
                 visualize_sample(
-                    ds.img1[sample_i], ds.img2[sample_i],
+                    h1[k_in_batch] if stream else ds.img1[sample_i],
+                    h2[k_in_batch] if stream else ds.img2[sample_i],
                     labels[k_in_batch], probs[k_in_batch],
                     city, visualized, output_dir,
                 )
                 visualized += 1
 
+    if stream:
+        src.close()
     overall = {k: v / n for k, v in total.items()} if n else {}
     sweep = None
     if sweep_grid is not None and n:

@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ngf", type=int, default=64,
                    help="[extension] generator base filter count; must "
                         "match the checkpoint")
+    p.add_argument("--stream", type=str, default="hbm",
+                   choices=["hbm", "host", "decode"],
+                   help="[extension] corpus placement: 'hbm' stages the "
+                        "whole corpus device-resident (default); 'host' "
+                        "keeps it in host RAM, staging per batch; 'decode' "
+                        "re-decodes per batch (corpora beyond host RAM)")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="[extension] disable the persistent XLA compilation cache")
     return p
@@ -60,6 +66,7 @@ def main() -> None:
         dataset_subdir=args.dataset_subdir,
         synthetic_data_dir=args.synthetic_data_dir,
         target_size=target_size,
+        stream=args.stream,
     )
     gen_cfg = GenerateConfig(
         batch_size=args.batch_size,

@@ -244,6 +244,87 @@ def test_gan_streaming_epoch_matches_resident(samples):
 
 
 @pytest.mark.slow
+def test_evaluation_stream_matches_resident(oscd_tree, tmp_path):
+    """evaluate with --stream decode reports exactly the resident path's
+    metrics (same batches, same compiled predict)."""
+    from gan_aug_pfa_tpu import checkpoint as ckpt
+    from gan_aug_pfa_tpu.config import DataConfig, EvalConfig
+    from gan_aug_pfa_tpu.pipelines import run_evaluation
+
+    tr, state = _make_trainer()
+    path = str(tmp_path / "best_model.msgpack")
+    ckpt.save_checkpoint(path, state, model_only=True)
+
+    results = {}
+    for mode in ("hbm", "decode"):
+        data_cfg = DataConfig(
+            root_dir=str(oscd_tree), target_size=SIZE, stream=mode
+        )
+        eval_cfg = EvalConfig(
+            target_size=SIZE, checkpoint_path=path,
+            output_dir=f"eval_stream_{mode}", num_visualizations=1,
+        )
+        results[mode] = run_evaluation(data_cfg, eval_cfg, verbose=False)
+    for key, v in results["hbm"]["overall"].items():
+        assert results["decode"]["overall"][key] == pytest.approx(
+            v, rel=1e-6
+        )
+    assert results["hbm"]["per_city_counts"] == (
+        results["decode"]["per_city_counts"]
+    )
+
+
+@pytest.mark.slow
+def test_generate_stream_bytes_identical(oscd_tree, tmp_path):
+    """Synthetic PNGs from --stream decode are byte-identical to the
+    resident path's (the bit-comparability contract must survive
+    streaming)."""
+    import jax
+
+    from gan_aug_pfa_tpu import checkpoint as ckpt
+    from gan_aug_pfa_tpu.config import (
+        DataConfig, GANTrainConfig, GenerateConfig,
+    )
+    from gan_aug_pfa_tpu.pipelines import run_generate_synthetic
+    from gan_aug_pfa_tpu.train import GANTrainer
+
+    gan_cfg = GANTrainConfig(
+        target_size=(32, 32), compute_dtype="float32",
+        num_downs=5, ngf=8, ndf=8, n_layers=2,
+    )
+    tr = GANTrainer(gan_cfg)
+    sg, _ = tr.init_states(jax.random.PRNGKey(0))
+    ckpt_dir = oscd_tree / "gan_stream_test_ckpt"
+    ckpt_dir.mkdir(exist_ok=True)
+    ckpt.save_checkpoint(
+        str(ckpt_dir / "generator_epoch_1.msgpack"), sg, model_only=True
+    )
+
+    outputs = {}
+    for mode in ("hbm", "decode"):
+        out_dir = f"synthetic_stream_{mode}"
+        data_cfg = DataConfig(
+            root_dir=str(oscd_tree), target_size=(32, 32), stream=mode
+        )
+        gen_cfg = GenerateConfig(
+            batch_size=3, target_size=(32, 32),
+            generator_checkpoint_name="generator_epoch_1.msgpack",
+            gan_checkpoint_dir="gan_stream_test_ckpt",
+            synthetic_data_dir=out_dir, num_downs=5, ngf=8,
+        )
+        n = run_generate_synthetic(data_cfg, gen_cfg, verbose=False)
+        assert n == 5  # the 5 fixture cities
+        files = {}
+        base = oscd_tree / out_dir
+        for p in sorted(base.rglob("*.png")):
+            files[str(p.relative_to(base))] = p.read_bytes()
+        outputs[mode] = files
+    assert outputs["hbm"].keys() == outputs["decode"].keys()
+    for name, data in outputs["hbm"].items():
+        assert outputs["decode"][name] == data, f"{name} differs"
+
+
+@pytest.mark.slow
 def test_pipeline_stream_cli(oscd_tree):
     """End-to-end: run_siamese_training with stream='decode' trains and
     checkpoints like the resident path."""

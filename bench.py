@@ -31,7 +31,8 @@ TORCH_CPU_GAN_IPS = 0.597
 
 def bench_siamese(batched_encoder: bool = True, batch_size: int = 4,
                   momentum_dtype: str | None = None,
-                  flat_opt_state: bool = False):
+                  flat_opt_state: bool = False, size: int = 128,
+                  remat: bool = False, steps: int = 120):
     import numpy as np
     import jax
 
@@ -42,18 +43,19 @@ def bench_siamese(batched_encoder: bool = True, batch_size: int = 4,
                              compute_dtype="bfloat16",
                              batched_encoder=batched_encoder,
                              opt_momentum_dtype=momentum_dtype,
-                             opt_flat_state=flat_opt_state)
+                             opt_flat_state=flat_opt_state,
+                             remat=remat)
     trainer = SiameseTrainer(cfg, augment=False)
-    state = trainer.init_state(jax.random.PRNGKey(0), (128, 128))
+    state = trainer.init_state(jax.random.PRNGKey(0), (size, size))
 
     rng = np.random.RandomState(0)
     n = max(12, batch_size * 3)  # >= the OSCD train-set size
     ds = tuple(
         jax.device_put(a)
         for a in (
-            rng.rand(n, 128, 128, 3).astype(np.float32),
-            rng.rand(n, 128, 128, 3).astype(np.float32),
-            (rng.rand(n, 128, 128) > 0.8).astype(np.int32),
+            rng.rand(n, size, size, 3).astype(np.float32),
+            rng.rand(n, size, size, 3).astype(np.float32),
+            (rng.rand(n, size, size) > 0.8).astype(np.int32),
         )
     )
     import jax.numpy as jnp
@@ -64,7 +66,6 @@ def bench_siamese(batched_encoder: bool = True, batch_size: int = 4,
     # Measure the production lax.scan path with ONE dispatch + ONE sync so
     # the number reflects device throughput, not host/tunnel round-trips
     # (production syncs once per epoch for the plateau scheduler).
-    steps = 120
     bs = batch_size
     perm = np.concatenate(
         [epoch_rng.permutation(n) for _ in range(steps * bs // n + 1)]
@@ -86,7 +87,40 @@ def bench_siamese(batched_encoder: bool = True, batch_size: int = 4,
     dt = min(dts[1:])
     images_per_sec = steps * cfg.batch_size / dt
     ms_per_step = dt / steps * 1e3
-    return images_per_sec, ms_per_step, last
+
+    # FLOPs per step from XLA's own cost model (cached compile), for an
+    # honest model-FLOPs-utilization line on stderr.
+    flops_per_step = None
+    try:
+        # Cost-analyze the SINGLE-step program: XLA counts a lax.scan
+        # body once regardless of trip count, so the epoch program's
+        # flops ARE one step's (verified: scan total == step total).
+        # .lower on the jitted method is unbound — pass self explicitly
+        # (static_argnums=0 makes it a plain static arg).
+        comp = trainer._train_step.lower(
+            trainer, state, *ds, idx_mat[0], keys[0]
+        ).compile()
+        ca = comp.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca and ca.get("flops"):
+            flops_per_step = float(ca["flops"])
+    except Exception:
+        pass
+    return images_per_sec, ms_per_step, last, flops_per_step
+
+
+def _peak_flops() -> float | None:
+    """bf16 peak of the attached chip (public figures), for MFU."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for hint, peak in (
+        ("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
+        ("v6", 918e12), ("v4", 275e12),
+    ):
+        if hint in kind:
+            return peak
+    return None
 
 
 def bench_gan(concat_free_disc: bool = False):
@@ -145,6 +179,15 @@ def main() -> None:
     ap.add_argument("--flat-opt-state", action="store_true",
                     help="[extension] A/B knob: optimizer update on one "
                          "concatenated vector (optax.flatten)")
+    ap.add_argument("--size", type=int, default=128,
+                    help="[extension] square resolution for the Siamese "
+                         "bench (scaling rows; the headline/driver "
+                         "contract is 128)")
+    ap.add_argument("--remat", action="store_true",
+                    help="[extension] activation rematerialization "
+                         "(pairs with large --size)")
+    ap.add_argument("--steps", type=int, default=120,
+                    help="[extension] scan length per timed rep")
     args = ap.parse_args()
 
     from gan_aug_pfa_tpu.utils.compile_cache import enable_compile_cache
@@ -154,16 +197,18 @@ def main() -> None:
     # params and eval forward as the reference's two-pass form — see
     # models/siamese_unet.py).  The parity-exact two-pass number follows
     # on stderr.
-    siamese_ips, ms_step, loss = bench_siamese(
+    siamese_ips, ms_step, loss, flops = bench_siamese(
         batched_encoder=True, batch_size=args.batch_size,
         momentum_dtype=args.momentum_dtype,
         flat_opt_state=args.flat_opt_state,
+        size=args.size, remat=args.remat, steps=args.steps,
     )
     print(
         json.dumps(
             {
                 "metric": (
-                    f"siamese_train_throughput_bs{args.batch_size}_128px"
+                    f"siamese_train_throughput_bs{args.batch_size}_"
+                    f"{args.size}px"
                 ),
                 "value": round(siamese_ips, 2),
                 "unit": "images/sec",
@@ -172,16 +217,29 @@ def main() -> None:
         )
     )
     print(
-        f"# siamese: {ms_step:.2f} ms/step (bs={args.batch_size} @128px, "
-        f"epoch-scan path, batched encoder), loss={loss:.4f}, "
-        f"baseline={TORCH_CPU_SIAMESE_IPS} img/s (torch-cpu)",
+        f"# siamese: {ms_step:.2f} ms/step (bs={args.batch_size} "
+        f"@{args.size}px, epoch-scan path, batched encoder), "
+        f"loss={loss:.4f}, baseline={TORCH_CPU_SIAMESE_IPS} img/s "
+        "(torch-cpu)",
         file=sys.stderr,
     )
+    peak = _peak_flops()
+    if flops and peak:
+        # Model FLOPs utilization from XLA's own cost model and the
+        # chip's public bf16 peak — the honest hardware-efficiency line.
+        achieved = flops / (ms_step / 1e3)
+        print(
+            f"# siamese MFU: {achieved / peak * 100:.1f}% "
+            f"({flops / 1e9:.0f} GFLOP/step, {achieved / 1e12:.1f} "
+            f"TFLOP/s of {peak / 1e12:.0f} peak)",
+            file=sys.stderr,
+        )
     if args.skip_secondary:
         return
     try:
-        ips2, ms2, _ = bench_siamese(batched_encoder=False,
-                                     batch_size=args.batch_size)
+        ips2, ms2, _, _ = bench_siamese(batched_encoder=False,
+                                        batch_size=args.batch_size,
+                                        size=args.size)
         print(
             f"# siamese (reference-parity two-pass encoder): {ips2:.2f} "
             f"img/s, {ms2:.2f} ms/step",

@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "whole corpus device-resident (default); 'host' "
                         "keeps it in host RAM, staging per batch; 'decode' "
                         "re-decodes per batch (corpora beyond host RAM)")
+    p.add_argument("--json-out", type=str, default=None,
+                   help="[extension] also write the full metrics report "
+                        "(overall + per-city means + sweep) as one JSON "
+                        "file at this path")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="[extension] disable the persistent XLA compilation cache")
     return p
@@ -98,6 +102,7 @@ def main() -> None:
         ensemble_paths=tuple(args.ensemble) if args.ensemble else None,
         threshold=args.threshold,
         threshold_sweep=args.threshold_sweep,
+        json_out=args.json_out,
     )
     from gan_aug_pfa_tpu import pipelines
 

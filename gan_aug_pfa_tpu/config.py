@@ -131,6 +131,10 @@ class SiameseTrainConfig:
     # Observability (SURVEY.md §5.1-5.2 — absent in the reference):
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
     debug_nans: bool = False  # jax_debug_nans numeric sanitizer
+    # Machine-readable run log: one JSON object per event (run_start /
+    # epoch / checkpoint / preemption / run_end) appended per line
+    # (utils/runlog.py).  --resume appends to the same file.
+    log_jsonl: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -178,6 +182,8 @@ class GANTrainConfig:
     async_ckpt: bool = False
     profile_dir: Optional[str] = None
     debug_nans: bool = False
+    # See SiameseTrainConfig.log_jsonl (utils/runlog.py).
+    log_jsonl: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -202,6 +208,9 @@ class EvalConfig:
     # 0.05..0.95 grid and the best operating point.
     threshold: float = 0.5
     threshold_sweep: bool = False
+    # Write the full metrics report (overall + per-city means + sweep) as
+    # one JSON file in addition to the printed tables.
+    json_out: Optional[str] = None
 
 
 @dataclasses.dataclass

@@ -172,15 +172,34 @@ def run_siamese_training(
     profiler_ctx = _setup_observability(
         trainer, train_cfg, train_cfg.batch_size, verbose
     )
+    from .utils.runlog import open_run_log
+
+    runlog = open_run_log(train_cfg.log_jsonl, append=train_cfg.resume)
+    if runlog:
+        import dataclasses
+
+        runlog.log(
+            "run_start", kind="siamese_train", start_epoch=start_epoch,
+            n_train=len(train_ds), n_val=len(val_ds),
+            data=dataclasses.asdict(data_cfg),
+            config=dataclasses.asdict(train_cfg),
+        )
 
     from .utils.signals import GracefulShutdown
 
-    with profiler_ctx, GracefulShutdown() as stop:
-        _run_siamese_epochs(
-            trainer, train_cfg, state, scheduler, start_epoch, best_val_loss,
-            dev_train, dev_val, train_ds, val_ds, epoch_rng, rng,
-            checkpoint_dir, history, verbose, stop,
-        )
+    try:
+        with profiler_ctx, GracefulShutdown() as stop:
+            _run_siamese_epochs(
+                trainer, train_cfg, state, scheduler, start_epoch,
+                best_val_loss, dev_train, dev_val, train_ds, val_ds,
+                epoch_rng, rng, checkpoint_dir, history, verbose, stop,
+                runlog,
+            )
+        if runlog:
+            runlog.log("run_end", best_val_loss=history.get("best_val_loss"))
+    finally:
+        if runlog:
+            runlog.close()
     _report_observability(trainer, train_cfg, verbose)
     if stream:
         train_ds.close()
@@ -192,7 +211,7 @@ def run_siamese_training(
 def _run_siamese_epochs(
     trainer, train_cfg, state, scheduler, start_epoch, best_val_loss,
     dev_train, dev_val, train_ds, val_ds, epoch_rng, rng,
-    checkpoint_dir, history, verbose, stop=None,
+    checkpoint_dir, history, verbose, stop=None, runlog=None,
 ):
     best_snapshot = None  # device-resident best model (defer_best_ckpt)
     # Background writes (async_ckpt): same call signature as
@@ -224,6 +243,11 @@ def _run_siamese_epochs(
                 f"Epoch {epoch} - Train Loss: {train_loss:.4f}, "
                 f"Val Loss: {val_loss:.4f} ({dt:.2f}s)"
             )
+        if runlog:
+            runlog.log(
+                "epoch", epoch=epoch, train_loss=train_loss,
+                val_loss=val_loss, lr=lr_now, wall_s=round(dt, 3),
+            )
         new_lr = scheduler.step(val_loss)
         if new_lr != lr_now:
             state = state.replace(
@@ -249,6 +273,9 @@ def _run_siamese_epochs(
                         f"Best model snapshotted on device (Val Loss: "
                         f"{best_val_loss:.4f})"
                     )
+                if runlog:
+                    runlog.log("best_snapshot", epoch=epoch,
+                               val_loss=val_loss)
             else:
                 path = os.path.join(
                     checkpoint_dir, ckpt.checkpoint_name("best_model")
@@ -263,6 +290,9 @@ def _run_siamese_epochs(
                         f"Best model saved to {path} (Val Loss: "
                         f"{best_val_loss:.4f})"
                     )
+                if runlog:
+                    runlog.log("checkpoint", kind="best_model", path=path,
+                               epoch=epoch, val_loss=val_loss)
         preempted = stop is not None and stop.requested
         if train_cfg.defer_best_ckpt and best_snapshot is not None and (
             epoch % train_cfg.save_every == 0
@@ -283,6 +313,9 @@ def _run_siamese_epochs(
             best_snapshot = None
             if verbose:
                 print(f"Best model saved to {path} (deferred write)")
+            if runlog:
+                runlog.log("checkpoint", kind="best_model", path=path,
+                           epoch=epoch, deferred=True)
         if epoch % train_cfg.save_every == 0:
             path = os.path.join(
                 checkpoint_dir, ckpt.checkpoint_name(f"model_epoch_{epoch}")
@@ -291,6 +324,9 @@ def _run_siamese_epochs(
                                  model_only=True)
             if verbose:
                 print(f"Checkpoint saved to {path}")
+            if runlog:
+                runlog.log("checkpoint", kind="model_epoch", path=path,
+                           epoch=epoch)
         # Rolling resume state (improvement over the reference).  Saved on
         # the save_every cadence, not every epoch: serializing the full
         # train state (params + optimizer moments, ~0.5 GB) is a
@@ -299,10 +335,11 @@ def _run_siamese_epochs(
         # (utils/signals.py), so --resume continues from THIS epoch.
         if (epoch % train_cfg.save_every == 0
                 or epoch == train_cfg.num_epochs or preempted):
+            last_path = os.path.join(
+                checkpoint_dir, ckpt.checkpoint_name("last_state")
+            )
             save_checkpoint(
-                os.path.join(
-                    checkpoint_dir, ckpt.checkpoint_name("last_state")
-                ),
+                last_path,
                 state,
                 extra={
                     "epoch": epoch,
@@ -310,12 +347,17 @@ def _run_siamese_epochs(
                     "scheduler": scheduler.state_dict(),
                 },
             )
+            if runlog:
+                runlog.log("checkpoint", kind="last_state", path=last_path,
+                           epoch=epoch)
         if preempted:
             if verbose:
                 print(
                     f"Preemption requested: resume state saved at epoch "
                     f"{epoch}; relaunch with --resume to continue."
                 )
+            if runlog:
+                runlog.log("preemption", epoch=epoch)
             break
     if writer is not None:
         writer.wait()  # final write durable (and its errors raised) here
@@ -399,6 +441,18 @@ def run_gan_training(
     )
     writer = ckpt.AsyncCheckpointWriter() if gan_cfg.async_ckpt else None
     save_checkpoint = writer.save if writer else ckpt.save_checkpoint
+    from .utils.runlog import open_run_log
+
+    runlog = open_run_log(gan_cfg.log_jsonl, append=gan_cfg.resume)
+    if runlog:
+        import dataclasses
+
+        profiler.callback(runlog.close)
+        runlog.log(
+            "run_start", kind="gan_train", start_epoch=start_epoch,
+            n_train=len(ds), data=dataclasses.asdict(data_cfg),
+            config=dataclasses.asdict(gan_cfg),
+        )
 
     from .utils.signals import GracefulShutdown
 
@@ -422,6 +476,9 @@ def run_gan_training(
                     f"Epoch {epoch} - Avg Loss D: {loss_d:.4f}, Avg Loss G: "
                     f"{loss_g:.4f} ({dt:.2f}s)"
                 )
+            if runlog:
+                runlog.log("epoch", epoch=epoch, loss_d=loss_d,
+                           loss_g=loss_g, wall_s=round(dt, 3))
             if epoch % gan_cfg.sample_every == 0 or epoch == gan_cfg.num_epochs:
                 # Sample strip (reference save_samples, train_gan.py:78-92) on
                 # the fixed preview pair.
@@ -441,6 +498,8 @@ def run_gan_training(
                 )
                 if verbose:
                     print(f"Saved sample image to {path}")
+                if runlog:
+                    runlog.log("sample", epoch=epoch, path=path)
             preempted = stop.requested
             if (epoch % gan_cfg.save_every == 0 or epoch == gan_cfg.num_epochs
                     or preempted):
@@ -473,15 +532,22 @@ def run_gan_training(
                 )
                 if verbose:
                     print(f"GAN Checkpoints saved for epoch {epoch}")
+                if runlog:
+                    runlog.log("checkpoint", kind="gan_epoch", epoch=epoch,
+                               generator=pg, discriminator=pd)
             if preempted:
                 if verbose:
                     print(
                         f"Preemption requested: GAN resume state saved at "
                         f"epoch {epoch}; relaunch with --resume to continue."
                     )
+                if runlog:
+                    runlog.log("preemption", epoch=epoch)
                 break
         if writer is not None:
             writer.wait()
+        if runlog:
+            runlog.log("run_end")
     finally:
         # Exceptions must still restore the signal handlers and stop
         # the profiler (a leaked GracefulShutdown would swallow the
@@ -796,6 +862,30 @@ def run_evaluation(
             print(f"City: {city} (Samples: {c})")
             for k in METRIC_KEYS:
                 print(f"  {k.capitalize()}: {m[k] / c:.4f}")
+    if eval_cfg.json_out:
+        # Machine-readable report mirroring the printed tables (per-city
+        # values are the per-sample macro means, like the printout).
+        import json
+
+        report = {
+            "n_samples": n,
+            "threshold": eval_cfg.threshold,
+            "checkpoints": checkpoint_paths,
+            "post_process": eval_cfg.post_process,
+            "overall": overall,
+            "per_city": {
+                city: {k: m[k] / per_city_counts[city] for k in METRIC_KEYS}
+                for city, m in per_city.items()
+            },
+            "per_city_counts": per_city_counts,
+            "sweep": sweep,
+        }
+        parent = os.path.dirname(os.path.abspath(eval_cfg.json_out))
+        os.makedirs(parent, exist_ok=True)
+        with open(eval_cfg.json_out, "w") as f:
+            json.dump(report, f, indent=1)
+        if verbose:
+            print(f"Metrics report written to {eval_cfg.json_out}")
     return {"overall": overall, "per_city": per_city,
             "per_city_counts": per_city_counts, "sweep": sweep}
 

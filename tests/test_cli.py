@@ -87,3 +87,15 @@ def test_extension_flags_parse():
         pp = _load(cli).build_parser()
         assert pp.parse_args(["--no-compile-cache"]).no_compile_cache
         assert not pp.parse_args([]).no_compile_cache
+
+
+def test_runlog_flags_parse():
+    """[extension] --log-jsonl on both training CLIs; --json-out on
+    evaluate.  Default off."""
+    for cli in ("train", "train_gan"):
+        p = _load(cli).build_parser()
+        assert p.parse_args([]).log_jsonl is None
+        assert p.parse_args(["--log-jsonl", "r.jsonl"]).log_jsonl == "r.jsonl"
+    p = _load("evaluate").build_parser()
+    assert p.parse_args([]).json_out is None
+    assert p.parse_args(["--json-out", "m.json"]).json_out == "m.json"

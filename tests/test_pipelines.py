@@ -52,6 +52,7 @@ def gan_run(workdir):
     cfg = GANTrainConfig(
         num_epochs=2, target_size=GAN_SIZE, compute_dtype="float32",
         save_every=2, sample_every=1, data_parallel=False, seed=0,
+        log_jsonl=os.path.join(workdir, "gan_run.jsonl"),
     )
     hist = pipelines.run_gan_training(
         DataConfig(root_dir=workdir, target_size=GAN_SIZE), cfg,
@@ -73,6 +74,28 @@ def test_gan_training_artifacts(gan_run):
     # Sample strips (train_gan.py:78-92 analog).
     strips = glob.glob(os.path.join(workdir, "gan_samples", "*.png"))
     assert strips, "no GAN sample strips written"
+
+
+def test_gan_training_log_jsonl(gan_run):
+    """[extension] --log-jsonl: the GAN run's event stream matches the
+    run's history and artifacts."""
+    import json
+
+    workdir, hist = gan_run
+    with open(os.path.join(workdir, "gan_run.jsonl")) as f:
+        events = [json.loads(line) for line in f]
+    kinds = [e["event"] for e in events]
+    assert kinds[0] == "run_start" and kinds[-1] == "run_end"
+    assert events[0]["kind"] == "gan_train"
+    assert events[0]["config"]["num_epochs"] == 2
+    epochs = [e for e in events if e["event"] == "epoch"]
+    assert [e["epoch"] for e in epochs] == [1, 2]
+    assert epochs[0]["loss_d"] == pytest.approx(hist["loss_d"][0])
+    assert epochs[1]["loss_g"] == pytest.approx(hist["loss_g"][1])
+    samples = [e for e in events if e["event"] == "sample"]
+    assert len(samples) == 2  # sample_every=1
+    cks = [e for e in events if e["event"] == "checkpoint"]
+    assert cks and all(os.path.exists(e["generator"]) for e in cks)
 
 
 @pytest.fixture(scope="module")
@@ -114,6 +137,7 @@ def siamese_run(synthetic_corpus):
     cfg = SiameseTrainConfig(
         batch_size=2, num_epochs=2, compute_dtype="float32",
         save_every=2, data_parallel=False, seed=0,
+        log_jsonl=os.path.join(workdir, "siamese_run.jsonl"),
     )
     hist = pipelines.run_siamese_training(
         _data_cfg(workdir, use_synthetic=True), cfg, verbose=False
@@ -133,6 +157,33 @@ def test_siamese_training_with_synthetic(siamese_run):
     assert os.path.exists(os.path.join(ck, "last_state.msgpack"))
 
 
+def test_siamese_training_log_jsonl(siamese_run):
+    """[extension] --log-jsonl: epoch losses in the event stream match the
+    returned history; checkpoint events carry existing paths."""
+    import json
+
+    workdir, hist = siamese_run
+    with open(os.path.join(workdir, "siamese_run.jsonl")) as f:
+        events = [json.loads(line) for line in f]
+    assert events[0]["event"] == "run_start"
+    assert events[0]["kind"] == "siamese_train"
+    assert events[-1]["event"] == "run_end"
+    assert events[-1]["best_val_loss"] == pytest.approx(
+        hist["best_val_loss"]
+    )
+    epochs = [e for e in events if e["event"] == "epoch"]
+    assert [e["epoch"] for e in epochs] == [1, 2]
+    for rec, tl, vl in zip(epochs, hist["train_loss"], hist["val_loss"]):
+        assert rec["train_loss"] == pytest.approx(tl)
+        assert rec["val_loss"] == pytest.approx(vl)
+        assert rec["lr"] > 0 and rec["wall_s"] > 0
+    kinds = {e.get("kind") for e in events if e["event"] == "checkpoint"}
+    assert {"best_model", "model_epoch", "last_state"} <= kinds
+    for e in events:
+        if e["event"] == "checkpoint":
+            assert os.path.exists(e["path"])
+
+
 def test_siamese_resume_continues_epoch_count(siamese_run, capsys):
     """Resume (absent in the reference, SURVEY.md §5.3: every reference run
     restarts at epoch 1) picks up at the next epoch with optimizer +
@@ -141,6 +192,7 @@ def test_siamese_resume_continues_epoch_count(siamese_run, capsys):
     cfg = SiameseTrainConfig(
         batch_size=2, num_epochs=3, compute_dtype="float32",
         save_every=5, data_parallel=False, seed=0, resume=True,
+        log_jsonl=os.path.join(workdir, "siamese_run.jsonl"),
     )
     hist = pipelines.run_siamese_training(
         _data_cfg(workdir, use_synthetic=True), cfg, verbose=True
@@ -149,13 +201,24 @@ def test_siamese_resume_continues_epoch_count(siamese_run, capsys):
     assert "Resumed from" in out and "at epoch 3" in out
     # Only epoch 3 runs (epochs 1-2 already done before resume).
     assert len(hist["train_loss"]) == 1
+    # --log-jsonl + --resume appends to the first run's file: two
+    # run_starts, and the resumed run's epochs continue at 3.
+    import json
+
+    with open(cfg.log_jsonl) as f:
+        events = [json.loads(line) for line in f]
+    starts = [e for e in events if e["event"] == "run_start"]
+    assert len(starts) == 2 and starts[1]["start_epoch"] == 3
+    assert [e["epoch"] for e in events if e["event"] == "epoch"] == [1, 2, 3]
 
 
 def test_evaluation_pipeline(siamese_run):
     workdir, _ = siamese_run
+    json_out = os.path.join(workdir, "eval_report.json")
     result = pipelines.run_evaluation(
         _data_cfg(workdir),
-        EvalConfig(target_size=SIA_SIZE, num_visualizations=2),
+        EvalConfig(target_size=SIA_SIZE, num_visualizations=2,
+                   json_out=json_out),
         verbose=False,
     )
     assert result is not None
@@ -168,6 +231,17 @@ def test_evaluation_pipeline(siamese_run):
         os.path.join(workdir, "evaluation_results", "validation_sample_*.png")
     )
     assert len(vis) == 2
+    # [extension] --json-out report mirrors the returned metrics.
+    import json
+
+    with open(json_out) as f:
+        report = json.load(f)
+    assert report["n_samples"] == sum(result["per_city_counts"].values())
+    assert report["overall"] == pytest.approx(overall)
+    for city, m in result["per_city"].items():
+        c = result["per_city_counts"][city]
+        for k, v in report["per_city"][city].items():
+            assert v == pytest.approx(m[k] / c)
 
 
 def test_evaluation_threshold_sweep(siamese_run):

@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--async-ckpt", action="store_true",
                    help="[extension] write checkpoints on a background "
                         "thread (see train.py --help)")
+    p.add_argument("--log-jsonl", type=str, default=None,
+                   help="[extension] append machine-readable run events "
+                        "(run_start/epoch/checkpoint/sample/preemption/"
+                        "run_end) as one JSON object per line to this "
+                        "file; --resume appends to the same file")
     return p
 
 
@@ -124,6 +129,7 @@ def main() -> None:
         async_ckpt=args.async_ckpt,
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,
+        log_jsonl=args.log_jsonl,
     )
     from gan_aug_pfa_tpu.parallel.mesh import maybe_distributed_init
     from gan_aug_pfa_tpu.pipelines import run_gan_training

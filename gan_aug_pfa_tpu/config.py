@@ -71,6 +71,10 @@ class SiameseTrainConfig:
     # ReduceLROnPlateau (reference train.py:296).
     plateau_factor: float = 0.2
     plateau_patience: int = 7
+    # [extension] stop after N consecutive epochs without val-loss
+    # improvement (0 = off, reference behavior: always run the full
+    # epoch budget).  See train/plateau.EarlyStopping.
+    early_stop_patience: int = 0
     n_channels: int = 3
     n_classes: int = 1
     seed: int = 0

@@ -42,7 +42,12 @@ from .data import build_cached_dataset, create_sample_lists
 from .data.loader import float_to_uint8
 from .metrics import METRIC_KEYS, per_sample_metrics
 from .parallel.mesh import make_mesh
-from .train import GANTrainer, ReduceLROnPlateau, SiameseTrainer
+from .train import (
+    EarlyStopping,
+    GANTrainer,
+    ReduceLROnPlateau,
+    SiameseTrainer,
+)
 from .train.optim import get_learning_rate, set_learning_rate
 from .utils.profiling import StepTimer, enable_nan_checks, trace
 
@@ -146,6 +151,7 @@ def run_siamese_training(
         train_cfg.learning_rate, train_cfg.plateau_factor,
         train_cfg.plateau_patience,
     )
+    stopper = EarlyStopping(train_cfg.early_stop_patience)
     start_epoch = 1
     best_val_loss = float("inf")
 
@@ -161,6 +167,10 @@ def run_siamese_training(
                 )
                 state = state.replace(
                     opt_state=set_learning_rate(state.opt_state, scheduler.lr)
+                )
+            if "early_stop" in extra:
+                stopper.load_state_dict(
+                    jax.tree.map(float, extra["early_stop"])
                 )
             if verbose:
                 print(f"Resumed from {path} at epoch {start_epoch}.")
@@ -193,7 +203,7 @@ def run_siamese_training(
                 trainer, train_cfg, state, scheduler, start_epoch,
                 best_val_loss, dev_train, dev_val, train_ds, val_ds,
                 epoch_rng, rng, checkpoint_dir, history, verbose, stop,
-                runlog,
+                runlog, stopper,
             )
         if runlog:
             runlog.log("run_end", best_val_loss=history.get("best_val_loss"))
@@ -211,7 +221,7 @@ def run_siamese_training(
 def _run_siamese_epochs(
     trainer, train_cfg, state, scheduler, start_epoch, best_val_loss,
     dev_train, dev_val, train_ds, val_ds, epoch_rng, rng,
-    checkpoint_dir, history, verbose, stop=None, runlog=None,
+    checkpoint_dir, history, verbose, stop=None, runlog=None, stopper=None,
 ):
     best_snapshot = None  # device-resident best model (defer_best_ckpt)
     # Background writes (async_ckpt): same call signature as
@@ -253,6 +263,10 @@ def _run_siamese_epochs(
             state = state.replace(
                 opt_state=set_learning_rate(state.opt_state, new_lr)
             )
+        early_stopped = (
+            stopper is not None and dev_val is not None
+            and stopper.step(val_loss)
+        )
         if val_loss < best_val_loss:
             best_val_loss = val_loss
             if train_cfg.defer_best_ckpt:
@@ -296,7 +310,7 @@ def _run_siamese_epochs(
         preempted = stop is not None and stop.requested
         if train_cfg.defer_best_ckpt and best_snapshot is not None and (
             epoch % train_cfg.save_every == 0
-            or epoch == train_cfg.num_epochs or preempted
+            or epoch == train_cfg.num_epochs or preempted or early_stopped
         ):
             path = os.path.join(
                 checkpoint_dir, ckpt.checkpoint_name("best_model")
@@ -334,19 +348,19 @@ def _run_siamese_epochs(
         # slow links.  Also saved when a preemption signal arrived
         # (utils/signals.py), so --resume continues from THIS epoch.
         if (epoch % train_cfg.save_every == 0
-                or epoch == train_cfg.num_epochs or preempted):
+                or epoch == train_cfg.num_epochs or preempted
+                or early_stopped):
             last_path = os.path.join(
                 checkpoint_dir, ckpt.checkpoint_name("last_state")
             )
-            save_checkpoint(
-                last_path,
-                state,
-                extra={
-                    "epoch": epoch,
-                    "best_val_loss": best_val_loss,
-                    "scheduler": scheduler.state_dict(),
-                },
-            )
+            extra = {
+                "epoch": epoch,
+                "best_val_loss": best_val_loss,
+                "scheduler": scheduler.state_dict(),
+            }
+            if stopper is not None:
+                extra["early_stop"] = stopper.state_dict()
+            save_checkpoint(last_path, state, extra=extra)
             if runlog:
                 runlog.log("checkpoint", kind="last_state", path=last_path,
                            epoch=epoch)
@@ -358,6 +372,18 @@ def _run_siamese_epochs(
                 )
             if runlog:
                 runlog.log("preemption", epoch=epoch)
+            break
+        if early_stopped:
+            if verbose:
+                print(
+                    f"Early stopping at epoch {epoch}: no val-loss "
+                    f"improvement in {stopper.patience} epochs (best "
+                    f"{best_val_loss:.4f})."
+                )
+            if runlog:
+                runlog.log("early_stop", epoch=epoch,
+                           patience=stopper.patience,
+                           best_val_loss=best_val_loss)
             break
     if writer is not None:
         writer.wait()  # final write durable (and its errors raised) here

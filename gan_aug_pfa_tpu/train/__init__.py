@@ -1,3 +1,3 @@
-from .plateau import ReduceLROnPlateau  # noqa: F401
+from .plateau import EarlyStopping, ReduceLROnPlateau  # noqa: F401
 from .siamese import SiameseTrainer  # noqa: F401
 from .gan import GANTrainer  # noqa: F401

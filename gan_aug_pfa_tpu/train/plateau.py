@@ -72,3 +72,38 @@ class ReduceLROnPlateau:
         self.best = state["best"]
         self.num_bad_epochs = state["num_bad_epochs"]
         self.cooldown_counter = state["cooldown_counter"]
+
+
+class EarlyStopping:
+    """[extension] Stop training after `patience` consecutive epochs with
+    no validation-loss improvement (the reference always runs the full
+    --num-epochs budget).  Improvement uses the same strict `<`-best
+    criterion as best-model checkpointing (reference train.py:307-309), so
+    "stopped" always means "the best_model checkpoint stopped advancing
+    `patience` epochs ago".  A NaN validation loss never counts as an
+    improvement, so a diverged run stops after `patience` epochs.
+
+    patience <= 0 disables (``step`` always returns False).  Host-side and
+    checkpointable (state_dict/load_state_dict ride the last_state extra)
+    so --resume continues the bad-epoch count instead of resetting it."""
+
+    def __init__(self, patience: int = 0):
+        self.patience = int(patience)
+        self.best = float("inf")
+        self.num_bad_epochs = 0
+
+    def step(self, metric: float) -> bool:
+        """Feed the epoch's validation loss; True = stop now."""
+        if metric < self.best:
+            self.best = float(metric)
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        return self.patience > 0 and self.num_bad_epochs >= self.patience
+
+    def state_dict(self) -> dict:
+        return {"best": self.best, "num_bad_epochs": self.num_bad_epochs}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.best = float(state["best"])
+        self.num_bad_epochs = int(state["num_bad_epochs"])

@@ -89,6 +89,13 @@ def test_extension_flags_parse():
         assert not pp.parse_args([]).no_compile_cache
 
 
+def test_early_stop_flag_parse():
+    """[extension] --early-stop N on train.py; default 0 = off."""
+    p = _load("train").build_parser()
+    assert p.parse_args([]).early_stop == 0
+    assert p.parse_args(["--early-stop", "5"]).early_stop == 5
+
+
 def test_runlog_flags_parse():
     """[extension] --log-jsonl on both training CLIs; --json-out on
     evaluate.  Default off."""

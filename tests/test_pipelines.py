@@ -440,3 +440,43 @@ def test_siamese_training_async_ckpt(synthetic_corpus, tmp_path):
     w.save(str(blocker / "x.msgpack"), bad)  # dirname is a regular file
     with pytest.raises(OSError):
         w.wait()
+
+
+def test_siamese_training_early_stop(synthetic_corpus):
+    """[extension] --early-stop N halts a non-improving run before the
+    epoch budget, still writes the resume state (with the stopper's
+    count), and logs the early_stop event.  lr=1e6 overflows the params
+    to inf/NaN on the first update, and a NaN val loss never counts as an
+    improvement, so the stop is deterministic.  (A merely-large lr is not
+    enough: at lr=5 the collapsed model's val loss still crept down
+    strictly every epoch.)"""
+    import json
+
+    from flax import serialization
+
+    workdir, _ = synthetic_corpus
+    log = os.path.join(workdir, "early_stop.jsonl")
+    cfg = SiameseTrainConfig(
+        batch_size=2, num_epochs=8, compute_dtype="float32",
+        save_every=10, data_parallel=False, seed=0, learning_rate=1e6,
+        early_stop_patience=1, checkpoint_dir="siamese_estop_ckpt",
+        log_jsonl=log,
+    )
+    hist = pipelines.run_siamese_training(
+        _data_cfg(workdir, use_synthetic=False), cfg, verbose=False
+    )
+    assert hist is not None
+    n_ran = len(hist["train_loss"])
+    assert n_ran < 8, f"diverging run was not early-stopped ({n_ran} epochs)"
+    with open(log) as f:
+        events = [json.loads(line) for line in f]
+    stops = [e for e in events if e["event"] == "early_stop"]
+    assert len(stops) == 1 and stops[0]["patience"] == 1
+    assert stops[0]["epoch"] == n_ran
+    # The resume state was written off-cadence (save_every=10 > n_ran) and
+    # carries the stopper state for --resume.
+    path = os.path.join(workdir, "siamese_estop_ckpt", "last_state.msgpack")
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    assert int(payload["extra"]["epoch"]) == n_ran
+    assert int(payload["extra"]["early_stop"]["num_bad_epochs"]) >= 1

@@ -58,3 +58,48 @@ def test_state_dict_roundtrip():
     for loss in [0.9] * 10:
         a, b = s.step(loss), s2.step(loss)
         assert a == b
+
+
+# ---------------------------------------------------------------------------
+# EarlyStopping ([extension] — the reference always runs the full epoch
+# budget; see train/plateau.EarlyStopping)
+# ---------------------------------------------------------------------------
+
+from gan_aug_pfa_tpu.train.plateau import EarlyStopping  # noqa: E402
+
+
+def test_early_stopping_triggers_after_patience_bad_epochs():
+    s = EarlyStopping(patience=2)
+    assert not s.step(1.0)   # first epoch always improves from inf
+    assert not s.step(0.9)   # improvement
+    assert not s.step(0.95)  # bad 1/2
+    assert s.step(0.95)      # bad 2/2 -> stop
+    # An improvement resets the count.
+    s = EarlyStopping(patience=2)
+    s.step(1.0)
+    s.step(1.1)              # bad 1/2
+    assert not s.step(0.5)   # improvement resets
+    assert not s.step(0.6)   # bad 1/2 again
+    assert s.step(0.6)
+
+
+def test_early_stopping_disabled_when_patience_zero():
+    s = EarlyStopping(patience=0)
+    assert not any(s.step(1.0) for _ in range(50))
+
+
+def test_early_stopping_nan_never_improves():
+    s = EarlyStopping(patience=2)
+    assert not s.step(float("nan"))  # nan < inf is False -> bad 1/2
+    assert s.step(float("nan"))      # bad 2/2 -> a diverged run stops
+
+
+def test_early_stopping_state_roundtrip():
+    s = EarlyStopping(patience=3)
+    s.step(1.0)
+    s.step(1.2)
+    s2 = EarlyStopping(patience=3)
+    s2.load_state_dict(s.state_dict())
+    # Identical continuation (the resume path feeds floats back).
+    for loss in [1.3, 1.4, 0.2, 0.5, 0.6, 0.7]:
+        assert s.step(loss) == s2.step(loss)

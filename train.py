@@ -135,6 +135,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="[extension] write checkpoints on a background "
                         "thread (device-side snapshot first; the "
                         "device->host pull overlaps later epochs)")
+    p.add_argument("--early-stop", type=int, default=0, metavar="N",
+                   help="[extension] stop after N consecutive epochs "
+                        "without validation-loss improvement (0 = off, "
+                        "reference behavior: always run --num-epochs); "
+                        "the bad-epoch count rides the resume state")
     p.add_argument("--log-jsonl", type=str, default=None,
                    help="[extension] append machine-readable run events "
                         "(run_start/epoch/checkpoint/preemption/run_end) "
@@ -200,6 +205,7 @@ def main() -> None:
         profile_dir=args.profile_dir,
         debug_nans=args.debug_nans,
         log_jsonl=args.log_jsonl,
+        early_stop_patience=args.early_stop,
     )
     from gan_aug_pfa_tpu.parallel.mesh import maybe_distributed_init
     from gan_aug_pfa_tpu.pipelines import run_siamese_training

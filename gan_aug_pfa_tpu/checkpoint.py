@@ -40,6 +40,8 @@ def _to_state_dict(state) -> Dict[str, Any]:
         "opt_state": state.opt_state,
         "step": state.step,
     }
+    if getattr(state, "ema_params", None) is not None:
+        d["ema_params"] = state.ema_params
     return d
 
 
@@ -203,6 +205,13 @@ def restore_checkpoint(path: str, state, with_extra: bool = False):
         opt_state=restored["opt_state"],
         step=restored["step"],
     )
+    if "ema_params" in template:
+        # EMA enabled for this run: resume it from the checkpoint, or —
+        # when resuming a pre-EMA checkpoint — seed it from the restored
+        # params so the average starts at the current weights.
+        ema = (restored["ema_params"] if "ema_params" in payload
+               else jax.tree.map(np.copy, restored["params"]))
+        new_state = new_state.replace(ema_params=ema)
     if with_extra:
         return new_state, payload.get("extra", {})
     return new_state

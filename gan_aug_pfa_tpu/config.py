@@ -179,6 +179,13 @@ class GANTrainConfig:
     # to fp reassociation, no 6-channel HBM concat (the GAN step's device
     # profile showed ~21% layout copies).  Param tree unchanged.
     concat_free_disc: bool = False
+    # Exponential moving average of the generator params (opt-in,
+    # standard GAN practice the reference lacks): after every G update,
+    # ema <- decay*ema + (1-decay)*params, maintained inside the compiled
+    # step.  Saved as generator_ema_epoch_N.msgpack — a regular generator
+    # checkpoint, directly consumable by generate_synthetic_data.py via
+    # --generator-checkpoint-name.  Typical decay: 0.999.
+    ema_decay: Optional[float] = None
     # See SiameseTrainConfig.opt_momentum_dtype / opt_flat_state /
     # async_ckpt.
     opt_momentum_dtype: Optional[str] = None

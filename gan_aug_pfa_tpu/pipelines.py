@@ -544,6 +544,21 @@ def run_gan_training(
                                 model_only=True)
                 save_checkpoint(pd, sd, extra={"epoch": epoch},
                                 model_only=True)
+                if gan_cfg.ema_decay is not None:
+                    # The EMA weights as a REGULAR generator checkpoint
+                    # (params=ema, live BN stats) so it drops straight
+                    # into generate_synthetic_data.py / evaluate paths.
+                    save_checkpoint(
+                        os.path.join(
+                            checkpoint_dir,
+                            ckpt.checkpoint_name(
+                                f"generator_ema_epoch_{epoch}"
+                            ),
+                        ),
+                        sg.replace(params=sg.ema_params, ema_params=None),
+                        extra={"epoch": epoch, "ema_decay": gan_cfg.ema_decay},
+                        model_only=True,
+                    )
                 save_checkpoint(
                     os.path.join(
                         checkpoint_dir, ckpt.checkpoint_name("last_generator")

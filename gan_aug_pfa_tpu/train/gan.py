@@ -37,6 +37,9 @@ from .optim import make_optimizer
 
 class GANState(train_state.TrainState):
     batch_stats: Any = None
+    # EMA of params (generator only, config.ema_decay) — None when disabled
+    # so existing checkpoints/programs are unchanged.
+    ema_params: Any = None
 
 
 class GANTrainer:
@@ -77,9 +80,14 @@ class GANTrainer:
         vd = self.discriminator.init(
             kd, jnp.concatenate([dummy, dummy], axis=-1), train=False
         )
+        ema = None
+        if self.config.ema_decay is not None:
+            # Distinct buffers: params are donated into the step programs,
+            # so the EMA tree must never alias them.
+            ema = jax.tree.map(jnp.copy, vg["params"])
         sg = GANState.create(
             apply_fn=self.generator.apply, params=vg["params"], tx=self.tx_g,
-            batch_stats=vg["batch_stats"],
+            batch_stats=vg["batch_stats"], ema_params=ema,
         )
         sd = GANState.create(
             apply_fn=self.discriminator.apply, params=vd["params"],
@@ -233,6 +241,12 @@ class GANTrainer:
             g_loss_fn, has_aux=True
         )(state_g.params)
         state_g = state_g.apply_gradients(grads=g_grads, batch_stats=g_bs2)
+        if self.config.ema_decay is not None:
+            d = self.config.ema_decay
+            state_g = state_g.replace(ema_params=jax.tree.map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                state_g.ema_params, state_g.params,
+            ))
         state_d = state_d.replace(batch_stats=d_bs2)
         return state_g, state_d, loss_d, loss_g
 

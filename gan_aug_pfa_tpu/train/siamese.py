@@ -105,21 +105,12 @@ class SiameseTrainer:
         if self.config.fused_loss:
             from ..ops.pallas_kernels import fused_loss as fl
 
-            if fl.fits(logits.size):
-                return fl.focal_dice_loss_fused(
-                    logits, labels_f, **self._loss_kwargs
-                )
-            if not getattr(self, "_fused_loss_fallback_warned", False):
-                # Log once: at >= ~512x512 eval shapes the kernel's VMEM
-                # block cap is exceeded and --fused-loss silently becomes
-                # the XLA path (VERDICT r1 weak item 7).
-                self._fused_loss_fallback_warned = True
-                print(
-                    f"--fused-loss: {logits.size} elements exceed the "
-                    f"Pallas kernel's single-block VMEM cap "
-                    f"({fl._MAX_ROWS * fl._LANES}); using the XLA loss "
-                    "path for this shape."
-                )
+            # Gridded kernel: any input size runs (round-3 change — the
+            # former single-block VMEM cap and its silent XLA fallback
+            # are gone).
+            return fl.focal_dice_loss_fused(
+                logits, labels_f, **self._loss_kwargs
+            )
         return focal_dice_loss(logits, labels_f, **self._loss_kwargs)
 
     # -- state ---------------------------------------------------------

@@ -83,14 +83,42 @@ def test_fused_loss_in_value_and_grad():
     assert g.shape == x.shape
 
 
-def test_fused_loss_fits_guard():
-    assert fl.fits(4 * 128 * 128)
-    assert not fl.fits(fl._MAX_ROWS * fl._LANES + 1)
-    with pytest.raises(ValueError):
-        focal_dice_loss_fused(
-            jnp.zeros((fl._MAX_ROWS + 1, fl._LANES)),
-            jnp.zeros((fl._MAX_ROWS + 1, fl._LANES)),
-        )
+def test_fused_loss_geometry():
+    """Block geometry: small inputs stay single-block (rounded to the f32
+    sublane multiple), large inputs grid over _BLOCK_ROWS-row steps."""
+    br, grid, padded = fl._geometry(4 * 128 * 128)  # 512 rows
+    assert (br, grid, padded) == (512, 1, 512)
+    br, grid, padded = fl._geometry(9)  # 1 row -> sublane-rounded
+    assert (br, grid, padded) == (8, 1, 8)
+    n = 4 * 512 * 512  # 8192 rows: the shape the r2 single-block cap lost
+    br, grid, padded = fl._geometry(n)
+    assert br == fl._BLOCK_ROWS and grid == 8 and padded == 8192
+    br, grid, padded = fl._geometry(fl._BLOCK_ROWS * fl._LANES + 1)
+    assert grid == 2
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("shape", [(4, 512, 512, 1), (1, 300, 300, 1)])
+def test_fused_loss_multiblock_matches_jnp(shape):
+    """Shapes beyond the former single-block cap run the gridded kernel
+    and match the XLA path, forward and backward (VERDICT r2 item 4)."""
+    x = jnp.asarray(RNG.randn(*shape).astype(np.float32) * 3)
+    t = jnp.asarray((RNG.rand(*shape) > 0.8).astype(np.float32))
+    kw = dict(beta=0.67, focal_gamma=1.79, focal_alpha=0.60,
+              dice_smooth=1.9e-6)
+    a, ga = jax.value_and_grad(
+        lambda x: focal_dice_loss(x, t, **kw))(x)
+    b, gb = jax.value_and_grad(
+        lambda x: focal_dice_loss_fused(x, t, **kw))(x)
+    assert abs(float(a) - float(b)) < 2e-6 * max(1.0, abs(float(a)))
+    # Gradient tolerance: the dice term's gradient depends on the three
+    # f32 megasum scalars (I, P, T), whose block-sequential accumulation
+    # rounds differently from XLA's tree reduction; at 1M elements the
+    # grads are O(1e-7) and the reduction-order noise is O(1e-11)
+    # (measured on TPU v5e: max|d|=2.6e-11 vs max|ga|=4.9e-7, i.e. 5e-5
+    # relative — a 1e-5 relative bound falsely fails there).
+    scale = float(jnp.max(jnp.abs(ga)))
+    assert float(jnp.max(jnp.abs(ga - gb))) < 1e-3 * scale
 
 
 # ---------------------------------------------------------------------------

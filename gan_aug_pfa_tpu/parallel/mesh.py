@@ -157,10 +157,28 @@ def put_dataset_global(mesh: Mesh, *arrays):
 def maybe_distributed_init() -> None:
     """Initialize the multi-host runtime when launched under one (no-op
     otherwise).  TPU-native replacement for the reference's absent
-    NCCL/MPI layer (SURVEY.md §5.8)."""
+    NCCL/MPI layer (SURVEY.md §5.8).
+
+    Two launch contracts:
+      * managed clusters (TPU pods, Slurm, GKE): set JAX_COORDINATOR_ADDRESS
+        or MEGASCALE_COORDINATOR_ADDRESS and jax auto-detects the rest;
+      * explicit (scripts/run_multiprocess_dp.py, bare-metal hosts): also
+        set JAX_NUM_PROCESSES and JAX_PROCESS_ID and they are passed
+        through verbatim.
+    Exercised cross-process by tests/test_multiprocess.py."""
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "MEGASCALE_COORDINATOR_ADDRESS"
-    ):
+    )
+    if not addr:
+        return
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if num is not None and pid is not None:
+        jax.distributed.initialize(
+            coordinator_address=addr, num_processes=int(num),
+            process_id=int(pid),
+        )
+    else:
         jax.distributed.initialize()

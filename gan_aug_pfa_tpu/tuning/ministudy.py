@@ -51,10 +51,13 @@ class MedianPruner:
     the median of other trials' reported values at the same step
     (real-Optuna MedianPruner semantics, reference train.py:345):
 
-      * history considered = FINISHED trials (COMPLETE **and** PRUNED) —
-        pruned trials' reported intermediates count, so pruning bites as
-        early as Optuna's would on the same history;
-      * the startup gate counts finished trials;
+      * history considered = COMPLETE trials ONLY — exactly optuna's
+        PercentilePruner pool (pruned trials' intermediates do NOT count).
+        Round-3 fix: the previous COMPLETE+PRUNED pool diverged from a
+        real recorded Optuna decision (reference optuna_study.db trial 19:
+        optuna pruned at step 5, the inclusive pool's higher median kept
+        it) — caught by the golden-trace replay in tests/test_tuning.py;
+      * the startup gate counts COMPLETE trials (optuna's n_trials gate);
       * the current trial competes with its BEST intermediate over all
         steps so far, not just the latest report;
       * the median is the interpolated (numpy-percentile-50) median.
@@ -81,15 +84,14 @@ class MedianPruner:
             return False
         if (step - self.n_warmup_steps) % self.interval_steps != 0:
             return False
-        finished = [
-            t for t in study.trials
-            if t.state in (TrialState.COMPLETE, TrialState.PRUNED)
+        completed = [
+            t for t in study.trials if t.state == TrialState.COMPLETE
         ]
-        if len(finished) < self.n_startup_trials:
+        if len(completed) < self.n_startup_trials:
             return False
         others = [
             t.intermediate_values[step]
-            for t in finished
+            for t in completed
             if step in t.intermediate_values
         ]
         if not others:

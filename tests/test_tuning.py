@@ -272,9 +272,33 @@ def _const_objective(v, prune=False):
     return obj
 
 
-def test_pruner_counts_pruned_trials_intermediates():
-    """Pruned trials' reported intermediates are part of the median
-    history (real MedianPruner), so pruning bites as early as Optuna's."""
+def test_pruner_excludes_pruned_trials_intermediates():
+    """The median pool is COMPLETE trials ONLY — optuna PercentilePruner
+    semantics, proven against the reference study's recorded decisions by
+    test_median_pruner_replays_reference_study (round 3 fixed the previous
+    COMPLETE+PRUNED pool, which diverged on reference trial 19)."""
+    pruner = MedianPruner(n_startup_trials=2, n_warmup_steps=0)
+    study = create_study(storage=None, pruner=pruner, sampler_seed=0)
+    study.optimize(_const_objective(0.3), n_trials=1)
+    study.optimize(_const_objective(0.2), n_trials=1)
+    # A pruned trial with a GOOD intermediate: if its 0.05 entered the
+    # pool, the median would drop to 0.2 and the 0.24 probe would prune.
+    study.optimize(_const_objective(0.05, prune=True), n_trials=1)
+
+    seen = {}
+
+    def probe(trial):
+        trial.report(0.24, 0)
+        seen["pruned"] = trial.should_prune()  # median(0.2, 0.3) = 0.25
+        return 0.24
+
+    study.optimize(probe, n_trials=1)
+    assert seen["pruned"] is False  # pruned-inclusive history would say yes
+
+
+def test_pruner_startup_gate_counts_complete_only():
+    """optuna's n_startup_trials gate counts COMPLETE trials; pruned
+    trials do not advance it."""
     pruner = MedianPruner(n_startup_trials=2, n_warmup_steps=0)
     study = create_study(storage=None, pruner=pruner, sampler_seed=0)
     study.optimize(_const_objective(0.3), n_trials=1)
@@ -283,12 +307,12 @@ def test_pruner_counts_pruned_trials_intermediates():
     seen = {}
 
     def probe(trial):
-        trial.report(0.25, 0)
-        seen["pruned"] = trial.should_prune()  # median(0.1, 0.3) = 0.2
-        return 0.25
+        trial.report(9.9, 0)  # terrible — but only 1 COMPLETE trial so far
+        seen["pruned"] = trial.should_prune()
+        return 9.9
 
     study.optimize(probe, n_trials=1)
-    assert seen["pruned"] is True  # completed-only history would say no
+    assert seen["pruned"] is False
 
 
 def test_pruner_median_is_interpolated():
@@ -431,3 +455,137 @@ def test_optuna_differential_median_pruner():
         optuna.TrialPruned,
     )
     assert ours == theirs
+
+
+# -- golden-trace differential vs the reference's REAL Optuna run -----------
+
+REF_DB = "/root/reference/optuna_study.db"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DB),
+                    reason="reference optuna_study.db not present")
+def test_median_pruner_replays_reference_study_decisions():
+    """Replay the reference's real recorded Optuna study (26 trials, study
+    'siamese_unet_tuning_v3', MedianPruner(5,5) — reference
+    train.py:340-348) through ministudy and require every one of the ~265
+    recorded prune/keep decisions to match what real Optuna actually did:
+    trials the DB marks PRUNED must prune at exactly their last recorded
+    step (all pruned at step 5 here) and at no earlier step; COMPLETE
+    trials must never prune at any of their 15 reports.
+
+    This is the in-image substitute for importing optuna (not installed,
+    zero egress): the golden decisions come from a genuine Optuna run's
+    persisted artifact, not from hand-written expectations (VERDICT r2
+    item 5).  It caught a real divergence: the pre-round-3 pruner pooled
+    PRUNED trials' intermediates into the median, keeping trial 19 where
+    Optuna pruned it.
+    """
+    import sqlite3
+
+    con = sqlite3.connect(f"file:{REF_DB}?mode=ro", uri=True)
+    cur = con.cursor()
+    rows = cur.execute(
+        "SELECT trial_id, number, state FROM trials ORDER BY number"
+    ).fetchall()
+    hist = []
+    for tid, num, state in rows:
+        iv = cur.execute(
+            "SELECT step, intermediate_value FROM trial_intermediate_values"
+            " WHERE trial_id=? ORDER BY step", (tid,)
+        ).fetchall()
+        val = cur.execute(
+            "SELECT value FROM trial_values WHERE trial_id=?", (tid,)
+        ).fetchone()
+        hist.append((num, state, iv, val[0] if val else None))
+    con.close()
+    assert len(hist) == 26
+
+    study = create_study(
+        study_name="golden_replay", storage=None,
+        pruner=MedianPruner(n_startup_trials=5, n_warmup_steps=5,
+                            interval_steps=1),
+    )
+    n_decisions = 0
+    for num, state, iv, value in hist:
+        if state in ("FAIL", "RUNNING"):
+            continue  # no intermediates recorded; no effect on the pool
+
+        last = iv[-1][0]
+
+        def obj(trial, num=num, state=state, iv=iv, value=value, last=last):
+            nonlocal n_decisions
+            for step, v in iv:
+                trial.report(v, step)
+                prune = trial.should_prune()
+                n_decisions += 1
+                want = state == "PRUNED" and step == last
+                assert prune == want, (
+                    f"trial {num} step {step}: ministudy says "
+                    f"prune={prune}, real Optuna recorded prune={want}"
+                )
+                if want:
+                    raise TrialPruned()
+            return value
+
+        try:
+            study.optimize(obj, n_trials=1)
+        except TrialPruned:
+            pass
+    assert n_decisions == 265
+    # The replayed study reproduces the reference's best trial (#8 in the
+    # DB = our 9th replayed; compare by value).
+    assert abs(study.best_trial.value - 0.30973) < 1e-4
+
+
+@pytest.mark.slow
+def test_parallel_trials_unlocked_fresh_process(oscd_tree, tmp_path):
+    """Regression tripwire for the first-compile lock (VERDICT r2 item 9):
+    the 2-parallel-trial workload with the study-wide compile lock DISABLED
+    (GAN_AUG_PFA_TPU_UNLOCKED_COMPILES=1) must pass in a fresh process —
+    it does on jaxlib 0.9.0 (the observed 2026-08-17 crashes additionally
+    required a long-lived ~150-test process state; full characterization in
+    tune.py's lock comment + scripts/repro_concurrent_compile.py).  If this
+    test ever starts failing, the lock's trigger got easier to hit; if a
+    future jaxlib is known-fixed, this test plus a long-suite run green
+    without the lock justifies retiring it."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        assert len(jax.devices()) == 8
+        from gan_aug_pfa_tpu.config import DataConfig
+        from gan_aug_pfa_tpu.tune import run_tuning
+        from gan_aug_pfa_tpu.tuning import TrialState
+
+        data_cfg = DataConfig(root_dir={str(oscd_tree)!r},
+                              target_size=(32, 32))
+        study = run_tuning(
+            data_cfg, n_trials=2,
+            storage="sqlite:///{tmp_path}/unlocked.db",
+            study_name="unlocked_test", trial_epochs=1, verbose=False,
+            n_parallel=2,
+        )
+        assert len(study.trials) == 2
+        assert all(t.state in (TrialState.COMPLETE, TrialState.PRUNED)
+                   for t in study.trials)
+        print("UNLOCKED_OK")
+        """
+    )
+    env = dict(os.environ)
+    env["GAN_AUG_PFA_TPU_UNLOCKED_COMPILES"] = "1"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    r = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True,
+        text=True, timeout=2400,  # 2 parallel first-compiles on a loaded
+        # 1-core host exceed 900 s (observed under 3 concurrent studies)
+    )
+    assert r.returncode == 0, (
+        f"unlocked parallel trials crashed (exit {r.returncode}) — the "
+        f"jaxlib concurrent-first-compile bug's trigger has widened; "
+        f"stdout:\n{r.stdout[-2000:]}\nstderr:\n{r.stderr[-2000:]}"
+    )
+    assert "UNLOCKED_OK" in r.stdout

@@ -40,10 +40,12 @@ class DataConfig:
     use_synthetic: bool = False
     augment: bool = False
     # Augment at each sample's NATIVE resolution and resize to target as
-    # chain step 5 (the reference's order, dataset.py:172-193) instead of
-    # augmenting the pre-resized cache.  Applies to --tune trials and
-    # --augment training.
-    native_aug: bool = False
+    # chain step 5 — the reference's ONLY augmentation order
+    # (dataset.py:172-193) and therefore the DEFAULT here (round-3 change;
+    # previously opt-in).  Applies to --tune trials and --augment training.
+    # False = augment the pre-resized cache (opt-in perf mode,
+    # --no-native-aug): one fixed shape for the whole augment chain.
+    native_aug: bool = True
     # Train-data placement: "hbm" (default) decodes once and keeps the
     # corpus device-resident; "host" keeps the decoded corpus in host RAM
     # and double-buffers batches to HBM per step; "decode" holds only file
@@ -195,6 +197,15 @@ class GANTrainConfig:
     debug_nans: bool = False
     # See SiameseTrainConfig.log_jsonl (utils/runlog.py).
     log_jsonl: Optional[str] = None
+
+    def __post_init__(self):
+        # Fail fast: an EMA decay outside [0, 1) silently produces a
+        # divergent/meaningless average that still saves as a
+        # normal-looking generator checkpoint.
+        if self.ema_decay is not None and not (0.0 <= self.ema_decay < 1.0):
+            raise ValueError(
+                f"ema_decay must be in [0, 1), got {self.ema_decay}"
+            )
 
 
 @dataclasses.dataclass

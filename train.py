@@ -57,11 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--augment", action="store_true",
                    help="[extension] enable joint augmentation in main "
                         "training (the reference only augments under --tune)")
-    p.add_argument("--native-aug", action="store_true",
+    p.add_argument("--native-aug", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="[extension] augment at each sample's NATIVE "
                         "resolution and resize to target as chain step 5 "
-                        "(the reference's augment-then-resize order); "
-                        "applies to --tune and --augment")
+                        "(the reference's augment-then-resize order, "
+                        "dataset.py:172-193); DEFAULT ON for --tune and "
+                        "--augment.  --no-native-aug augments the "
+                        "pre-resized cache instead (fixed-shape perf mode)")
     p.add_argument("--stream", type=str, default="hbm",
                    choices=["hbm", "host", "decode"],
                    help="[extension] train-data placement: 'hbm' keeps the "

@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """Measure the reference implementation's torch-CPU training throughput —
 the provenance script for the baseline constants hardcoded in bench.py
-(VERDICT r1 weak item 6: the 1035x/277x headline must be reproducible from
-the repo alone).
+(VERDICT r1 weak item 6 / r2 weak item 4: the headline multiplier must be
+reproducible from the repo alone AND stable between rounds).
 
 Imports the reference models at runtime from /root/reference (not copied)
 and times the exact reference train steps on this machine's CPU:
@@ -11,11 +11,18 @@ and times the exact reference train steps on this machine's CPU:
            bs=4 @128x128 (reference train.py:24-29, 289-296)
   gan:     full D-step + G-step, bs=1 @256x256 (reference train_gan.py:26-74)
 
-Prints one JSON line: {"siamese_ips": ..., "gan_ips": ..., "steps": ...,
-"torch": ...}.  Steps are few because one siamese step takes ~10 s on this
+Protocol (round 3, the one BASELINE.md records): 1 warmup step, then N=5
+individually timed steps per model; the reported figure is the MEDIAN step
+(robust to a transient stall), alongside every sample and an environment
+fingerprint (CPU model, core count, torch version, load average) so a future
+re-measurement can tell "different machine/load" from "different code".
+Quiesce the host first — background jobs inflate step times 1.5-2x on this
 1-core container.
 
-Run: python scripts/bench_torch_baseline.py [--steps 3]
+Prints one JSON line: {"siamese_ips": median, "gan_ips": median,
+"siamese_samples_s": [...], "gan_samples_s": [...], "fingerprint": {...}}.
+
+Run: python scripts/bench_torch_baseline.py [--steps 5]
 """
 
 from __future__ import annotations
@@ -32,7 +39,44 @@ sys.path.insert(
 sys.path.insert(0, "/root/reference")
 
 
-def bench_siamese(steps: int) -> float:
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
+
+def _timed_steps(step, steps: int):
+    """1 warmup + `steps` individually timed executions (seconds each)."""
+    step()  # warmup (allocator, threading)
+    out = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        step()
+        out.append(time.perf_counter() - t0)
+    return out
+
+
+def fingerprint() -> dict:
+    import torch
+
+    cpu_model = "unknown"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    cpu_model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return {
+        "cpu_model": cpu_model,
+        "nproc": os.cpu_count(),
+        "torch": torch.__version__,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+
+
+def bench_siamese(steps: int):
     import torch
 
     import models as ref_models
@@ -57,15 +101,11 @@ def bench_siamese(steps: int) -> float:
         loss.backward()
         opt.step()
 
-    step()  # warmup (allocator, threading)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        step()
-    dt = (time.perf_counter() - t0) / steps
-    return 4.0 / dt
+    times = _timed_steps(step, steps)
+    return [4.0 / dt for dt in times]
 
 
-def bench_gan(steps: int) -> float:
+def bench_gan(steps: int):
     import torch
 
     import models as ref_models
@@ -97,27 +137,23 @@ def bench_gan(steps: int) -> float:
         lg.backward()
         og.step()
 
-    step()
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        step()
-    dt = (time.perf_counter() - t0) / steps
-    return 1.0 / dt
+    times = _timed_steps(step, steps)
+    return [1.0 / dt for dt in times]
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=5)
     args = ap.parse_args()
-    import torch
 
     s = bench_siamese(args.steps)
     g = bench_gan(args.steps)
     print(json.dumps({
-        "siamese_ips": round(s, 4),
-        "gan_ips": round(g, 4),
-        "steps": args.steps,
-        "torch": torch.__version__,
+        "siamese_ips": round(_median(s), 4),
+        "gan_ips": round(_median(g), 4),
+        "siamese_samples_s": [round(v, 4) for v in s],
+        "gan_samples_s": [round(v, 4) for v in g],
+        "fingerprint": fingerprint(),
     }))
 
 

@@ -59,6 +59,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-output-channel conv kernels, fp activations "
                         "(~4x smaller artifact and HBM weight footprint; "
                         "see gan_aug_pfa_tpu/quantize.py)")
+    p.add_argument("--aot-batch-sizes", type=str, default=None,
+                   metavar="B1,B2",
+                   help="After exporting, AOT-compile the artifact at these "
+                        "batch sizes ON THE CURRENT BACKEND and write the "
+                        "executable sidecar (<output>.aotc) — serving "
+                        "processes then skip the per-shape XLA compile "
+                        "entirely (serve.compile_artifact). The sidecar is "
+                        "hardware/jax-version pinned; run this step on the "
+                        "deployment host (also standalone: python -m "
+                        "gan_aug_pfa_tpu.serve ARTIFACT B1,B2)")
     p.add_argument("--backend", type=str, default=None,
                    help="Force the local jax platform for the export "
                         "process (e.g. cpu). Cross-platform lowering means "
@@ -162,6 +172,11 @@ def main() -> None:
     serve.save_artifact(out, exported, meta, weights=weights)
     print(f"Saved serving artifact to {out} "
           f"({os.path.getsize(out) / 1e6:.1f} MB)")
+    if args.aot_batch_sizes:
+        sizes = [int(s) for s in args.aot_batch_sizes.split(",")]
+        print(f"AOT-compiling for batch sizes {sizes} on "
+              f"{jax.default_backend()} ...")
+        serve.compile_artifact(out, sizes)
 
 
 if __name__ == "__main__":

@@ -306,20 +306,226 @@ def load_artifact(path: str, check_platform: bool = True
     return header, exported
 
 
-def load_serving_fn(path: str):
+def load_serving_fn(path: str, aot: str = "auto"):
     """Load an artifact and return (header, callable) — the callable runs
     the baked model on the current backend: probs = fn(img1, img2).
 
     Quantized artifacts are transparent to the caller: the int8 weights
     are device-put once here (they live in HBM as int8) and closed over,
-    so the returned callable has the same (images-only) signature."""
+    so the returned callable has the same (images-only) signature.
+
+    aot: "auto" (default) uses the AOT executable sidecar
+    (``compile_artifact``'s <path>.aotc) when one exists and matches this
+    artifact/backend/jax version — batch shapes precompiled there skip XLA
+    entirely (fp artifacts otherwise pay the full per-shape compile in
+    every fresh process: 84–287 s on the tunnel, RESULTS.md).  "never"
+    ignores any sidecar; "require" raises if no valid sidecar is found.
+    Uncached batch shapes fall back to the normal compile path."""
     header, exported = load_artifact(path)
     weights = header.pop("_weights", None)
-    if weights is None:
-        return header, exported.call
-    weights = jax.tree_util.tree_map(jax.device_put, weights)
+    if weights is not None:
+        weights = jax.tree_util.tree_map(jax.device_put, weights)
+
+    aot_entries = None
+    if aot != "never":
+        aot_entries, why = _load_aot_sidecar(path)
+        if aot == "require" and aot_entries is None:
+            raise ValueError(
+                f"aot='require' but no usable executable sidecar for "
+                f"{path}: {why}"
+            )
+        if aot_entries:
+            header["aot_batch_sizes"] = sorted(aot_entries)
 
     def fn(*inputs):
-        return exported.call(weights, *inputs)
+        if aot_entries is not None:
+            compiled = aot_entries.get(int(np.shape(inputs[0])[0]))
+            if compiled is not None:
+                return compiled(weights, *inputs) if weights is not None \
+                    else compiled(*inputs)
+        return exported.call(weights, *inputs) if weights is not None \
+            else exported.call(*inputs)
 
     return header, fn
+
+
+# ---------------------------------------------------------------------------
+# AOT executable sidecar: skip serve-time XLA compiles entirely
+#
+# jax.export artifacts are portable StableHLO — each fresh serving process
+# still pays the full XLA compile per concrete batch shape, and the
+# persistent compile cache does NOT cover Exported.call (measured: 84–287 s
+# per shape for fp artifacts on the v5e tunnel, RESULTS.md).  The sidecar
+# stores the COMPILED PjRt executables for chosen batch sizes, produced
+# once on a machine with the target hardware (jax.jit(...).lower().compile()
+# + jax.experimental.serialize_executable).  Unlike the StableHLO artifact
+# it is hardware- and jax-version-pinned, so it lives in a separate file
+# with a fingerprint header and loaders silently fall back to the portable
+# path when anything mismatches.
+
+AOT_MAGIC = b"GAPTPUA1"
+
+
+def aot_sidecar_path(artifact_path: str) -> str:
+    return artifact_path + ".aotc"
+
+
+def _artifact_sha256(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _aot_env() -> Dict[str, str]:
+    return {
+        "backend": jax.default_backend(),
+        "device_kind": jax.devices()[0].device_kind,
+        "jax_version": jax.__version__,
+    }
+
+
+def compile_artifact(path: str, batch_sizes: Sequence[int],
+                     out_path: Optional[str] = None,
+                     verbose: bool = True) -> Dict[str, Any]:
+    """AOT-compile a serving artifact at concrete batch sizes on the
+    CURRENT backend and write the executable sidecar (<path>.aotc).
+
+    Returns the sidecar meta (per-shape compile seconds + sizes).  Run this
+    once per deployment target — e.g. ``python export_model.py ...
+    --aot-batch-sizes 1,4`` on the serving host, or the standalone
+    ``python -m gan_aug_pfa_tpu.serve <artifact> 1,4``."""
+    import pickle
+    import time
+
+    from jax.experimental import serialize_executable as _se
+
+    header, exported = load_artifact(path, check_platform=True)
+
+    def concrete_args(bs: int):
+        # Substitute every symbolic dimension (the dynamic batch) with bs;
+        # weight leaves of quantized artifacts have concrete shapes and
+        # pass through untouched.  Derived from the Exported itself so any
+        # artifact (arch / fixed-batch / quantized) works.
+        specs = [
+            jax.ShapeDtypeStruct(
+                tuple(d if isinstance(d, int) else int(bs)
+                      for d in a.shape),
+                a.dtype,
+            )
+            for a in exported.in_avals
+        ]
+        return exported.in_tree.unflatten(specs)
+
+    entries: Dict[int, bytes] = {}
+    meta: Dict[str, Any] = {
+        "artifact_sha256": _artifact_sha256(path),
+        "shapes": {},
+        **_aot_env(),
+    }
+    for bs in batch_sizes:
+        bs = int(bs)
+        args, kwargs = concrete_args(bs)
+        t0 = time.perf_counter()
+        compiled = jax.jit(exported.call).lower(*args, **kwargs).compile()
+        dt = time.perf_counter() - t0
+        payload, in_tree, out_tree = _se.serialize(compiled)
+        entries[bs] = pickle.dumps((payload, in_tree, out_tree))
+        meta["shapes"][str(bs)] = {
+            "compile_s": round(dt, 2),
+            "bytes": len(entries[bs]),
+        }
+        if verbose:
+            print(f"  AOT bs={bs}: compiled in {dt:.1f}s, "
+                  f"{len(entries[bs]) / 1e6:.1f} MB")
+
+    out = out_path or aot_sidecar_path(path)
+    blob = pickle.dumps({"meta": meta, "entries": entries})
+    tmp = out + ".tmp"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(AOT_MAGIC)
+            f.write(blob)
+        os.replace(tmp, out)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+    if verbose:
+        print(f"Saved AOT sidecar to {out} "
+              f"({os.path.getsize(out) / 1e6:.1f} MB, "
+              f"{meta['device_kind']}/{meta['backend']})")
+    return meta
+
+
+def _load_aot_sidecar(artifact_path: str):
+    """Return ({batch_size: lazily-loaded compiled callable}, why) — or
+    (None, why) when there is no usable sidecar.  Executables deserialize
+    on first use per batch size (deserialization is cheap; it is the XLA
+    compile that is skipped)."""
+    import pickle
+
+    side = aot_sidecar_path(artifact_path)
+    if not os.path.exists(side):
+        return None, "no sidecar file"
+    try:
+        with open(side, "rb") as f:
+            raw = f.read()
+        if raw[: len(AOT_MAGIC)] != AOT_MAGIC:
+            return None, "bad sidecar magic"
+        data = pickle.loads(raw[len(AOT_MAGIC):])
+        meta, entries = data["meta"], data["entries"]
+    except Exception as e:  # corrupt sidecar: portable path still works
+        return None, f"unreadable sidecar ({e})"
+    env = _aot_env()
+    for k, v in env.items():
+        if meta.get(k) != v:
+            return None, (f"sidecar {k}={meta.get(k)!r} != current {v!r}")
+    if meta.get("artifact_sha256") != _artifact_sha256(artifact_path):
+        return None, "artifact changed since sidecar was compiled"
+
+    from jax.experimental import serialize_executable as _se
+
+    class _Lazy:
+        __slots__ = ("blob", "compiled")
+
+        def __init__(self, blob):
+            self.blob = blob
+            self.compiled = None
+
+        def __call__(self, *args):
+            if self.compiled is None:
+                payload, in_tree, out_tree = pickle.loads(self.blob)
+                # Serving executables are single-device jit programs;
+                # deserialize_and_load defaults to ALL local devices and
+                # would expect len(devices) input shards.
+                self.compiled = _se.deserialize_and_load(
+                    payload, in_tree, out_tree,
+                    execution_devices=jax.devices()[:1],
+                )
+                self.blob = None
+            return self.compiled(*args)
+
+    return {int(bs): _Lazy(blob) for bs, blob in entries.items()}, "ok"
+
+
+def _main() -> None:
+    """python -m gan_aug_pfa_tpu.serve <artifact> <bs1,bs2,...> — compile
+    the AOT sidecar on the current backend (the deployment host)."""
+    import sys
+
+    if len(sys.argv) != 3:
+        raise SystemExit(
+            "usage: python -m gan_aug_pfa_tpu.serve ARTIFACT BS1,BS2,..."
+        )
+    sizes = [int(s) for s in sys.argv[2].split(",")]
+    compile_artifact(sys.argv[1], sizes)
+
+
+if __name__ == "__main__":
+    _main()

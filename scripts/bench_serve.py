@@ -36,6 +36,12 @@ def main() -> None:
                    help="Reuse an existing artifact instead of exporting")
     p.add_argument("--quantize", default=None, choices=["int8"],
                    help="Weight-only int8 export (quantize.py)")
+    p.add_argument("--aot", action="store_true",
+                   help="After exporting, AOT-compile the executable "
+                        "sidecar for --batch-sizes (serve.compile_artifact)."
+                        " Cold-start protocol: run once with --aot, then "
+                        "re-run in a FRESH process with --artifact <path> — "
+                        "first_call_s then measures the no-XLA-compile path")
     args = p.parse_args()
 
     import jax
@@ -100,11 +106,19 @@ def main() -> None:
         print(f"export: {export_s:.1f}s, artifact "
               f"{os.path.getsize(path) / 1e6:.1f} MB")
 
+    if args.aot:
+        t0 = time.perf_counter()
+        serve.compile_artifact(
+            path, [int(b) for b in args.batch_sizes.split(",")]
+        )
+        print(f"aot sidecar build: {time.perf_counter() - t0:.1f}s")
+
     t0 = time.perf_counter()
     header, fn = serve.load_serving_fn(path)
     load_s = time.perf_counter() - t0
     print(f"load: {load_s:.2f}s on {jax.default_backend()} "
-          f"(platforms={header['platforms']})")
+          f"(platforms={header['platforms']}, "
+          f"aot={header.get('aot_batch_sizes', 'none')})")
 
     rows = []
     r = np.random.RandomState(0)

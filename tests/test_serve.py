@@ -6,6 +6,7 @@ rebuild the model per run); these tests cover the [extension]
 jax.export-based artifact subsystem (gan_aug_pfa_tpu/serve.py)."""
 
 import json
+import os
 import subprocess
 import sys
 
@@ -174,3 +175,112 @@ def test_export_cli_end_to_end(tmp_path, repo_root=None):
     assert header["target_size"] == [64, 64]
     a = jnp.zeros((1, 64, 64, 3))
     assert np.asarray(fn(a, a)).shape == (1, 6, 6, 1)
+
+
+# ---------------------------------------------------------------------------
+# AOT executable sidecar (serve.compile_artifact / load_serving_fn aot=...)
+
+
+def _disc_artifact(tmp_path, h=64, w=64):
+    model = NLayerDiscriminator(input_nc=6)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 6)), train=False
+    )
+    exported = serve.export_model("discriminator", variables, h, w)
+    path = str(tmp_path / "disc.ghlo")
+    serve.save_artifact(path, exported, {"arch": "discriminator",
+                                         "target_size": [h, w]})
+    return model, variables, path
+
+
+def test_aot_sidecar_roundtrip(tmp_path):
+    """compile_artifact writes a sidecar whose deserialized executables
+    produce the same outputs; uncached batch sizes fall back to the
+    portable path (VERDICT r2 item 8: serving cold starts without
+    per-shape XLA compiles)."""
+    model, variables, path = _disc_artifact(tmp_path)
+
+    meta = serve.compile_artifact(path, [1, 3], verbose=False)
+    assert sorted(int(b) for b in meta["shapes"]) == [1, 3]
+    assert os.path.exists(serve.aot_sidecar_path(path))
+
+    header, fn = serve.load_serving_fn(path, aot="require")
+    assert header["aot_batch_sizes"] == [1, 3]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    for bs in (1, 3, 2):  # 2 = uncached -> portable-path fallback
+        a = jax.random.uniform(k1, (bs, 64, 64, 3), minval=-1, maxval=1)
+        b = jax.random.uniform(k2, (bs, 64, 64, 3), minval=-1, maxval=1)
+        got = np.asarray(fn(a, b))
+        want = np.asarray(model.apply(
+            variables, jnp.concatenate([a, b], axis=-1), train=False
+        ))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_aot_sidecar_executes_without_xla(tmp_path):
+    """The cached path truly bypasses tracing/compiling the Exported: the
+    deserialized executable runs even though exported.call was never
+    invoked (unit-level check on _load_aot_sidecar)."""
+    model, variables, path = _disc_artifact(tmp_path)
+    serve.compile_artifact(path, [2], verbose=False)
+    entries, why = serve._load_aot_sidecar(path)
+    assert why == "ok" and set(entries) == {2}
+    a = jnp.zeros((2, 64, 64, 3))
+    out = np.asarray(entries[2](a, a))
+    want = np.asarray(model.apply(
+        variables, jnp.concatenate([a, a], axis=-1), train=False
+    ))
+    np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_aot_sidecar_invalidation(tmp_path):
+    """A stale sidecar (artifact re-exported after compilation) must be
+    rejected — silently for aot='auto', loudly for aot='require'."""
+    model, variables, path = _disc_artifact(tmp_path)
+
+    with pytest.raises(ValueError, match="no usable executable sidecar"):
+        serve.load_serving_fn(path, aot="require")
+
+    serve.compile_artifact(path, [1], verbose=False)
+    serve.load_serving_fn(path, aot="require")  # valid now
+
+    # Re-export with different weights -> fingerprint mismatch.
+    variables2 = NLayerDiscriminator(input_nc=6).init(
+        jax.random.PRNGKey(9), jnp.zeros((1, 64, 64, 6)), train=False
+    )
+    exported2 = serve.export_model("discriminator", variables2, 64, 64)
+    serve.save_artifact(path, exported2, {"arch": "discriminator",
+                                          "target_size": [64, 64]})
+    entries, why = serve._load_aot_sidecar(path)
+    assert entries is None and "artifact changed" in why
+    with pytest.raises(ValueError, match="artifact changed"):
+        serve.load_serving_fn(path, aot="require")
+    header, fn = serve.load_serving_fn(path)  # auto: silent fallback
+    assert "aot_batch_sizes" not in header
+    a = jnp.zeros((1, 64, 64, 3))
+    assert np.asarray(fn(a, a)).shape == (1, 6, 6, 1)
+
+
+def test_aot_sidecar_quantized_artifact(tmp_path):
+    """int8 artifacts (weights as runtime args) AOT-compile and serve
+    through the sidecar with the same caller-facing signature."""
+    model = NLayerDiscriminator(input_nc=6)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6)), train=False
+    )
+    exported, qtree, _ = serve.export_model_quantized(
+        "discriminator", variables, 64, 64
+    )
+    path = str(tmp_path / "disc_int8.ghlo")
+    serve.save_artifact(path, exported, {"arch": "discriminator",
+                                         "target_size": [64, 64]},
+                        weights=qtree)
+    serve.compile_artifact(path, [2], verbose=False)
+    header, fn = serve.load_serving_fn(path, aot="require")
+    a = jnp.zeros((2, 64, 64, 3))
+    got = np.asarray(fn(a, a))
+    want = np.asarray(model.apply(
+        variables, jnp.concatenate([a, a], axis=-1), train=False
+    ))
+    # int8 weight quantization error only.
+    np.testing.assert_allclose(got, want, atol=0.1)

@@ -544,17 +544,17 @@ def run_gan_training(
                                 model_only=True)
                 save_checkpoint(pd, sd, extra={"epoch": epoch},
                                 model_only=True)
+                pe = None
                 if gan_cfg.ema_decay is not None:
                     # The EMA weights as a REGULAR generator checkpoint
                     # (params=ema, live BN stats) so it drops straight
                     # into generate_synthetic_data.py / evaluate paths.
+                    pe = os.path.join(
+                        checkpoint_dir,
+                        ckpt.checkpoint_name(f"generator_ema_epoch_{epoch}"),
+                    )
                     save_checkpoint(
-                        os.path.join(
-                            checkpoint_dir,
-                            ckpt.checkpoint_name(
-                                f"generator_ema_epoch_{epoch}"
-                            ),
-                        ),
+                        pe,
                         sg.replace(params=sg.ema_params, ema_params=None),
                         extra={"epoch": epoch, "ema_decay": gan_cfg.ema_decay},
                         model_only=True,
@@ -574,8 +574,9 @@ def run_gan_training(
                 if verbose:
                     print(f"GAN Checkpoints saved for epoch {epoch}")
                 if runlog:
+                    extra_paths = {"ema": pe} if pe else {}
                     runlog.log("checkpoint", kind="gan_epoch", epoch=epoch,
-                               generator=pg, discriminator=pd)
+                               generator=pg, discriminator=pd, **extra_paths)
             if preempted:
                 if verbose:
                     print(

@@ -125,3 +125,13 @@ def test_ema_artifact_loads_as_generator(ema_run, tmp_path):
     out = tr.generator.apply(loaded, dummy, train=False)
     assert out.shape == (1, 32, 32, 3)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ema_decay_out_of_range_fails_fast():
+    """ema_decay outside [0, 1) must raise at config construction, not
+    silently produce a divergent EMA checkpoint (ADVICE r2)."""
+    for bad in (1.0, 1.5, -0.1):
+        with pytest.raises(ValueError, match="ema_decay"):
+            GANTrainConfig(ema_decay=bad)
+    GANTrainConfig(ema_decay=0.999)  # valid value still constructs
+    GANTrainConfig(ema_decay=None)

@@ -22,6 +22,32 @@ def rng():
     return jax.random.PRNGKey(0)
 
 
+def test_param_counts_abstract(rng):
+    """All three golden parameter counts via jax.eval_shape (abstract
+    tracing only — no XLA compile), so the quick tier always asserts param
+    parity even with the concrete full-model tests re-tiered to medium.
+    Reference counts measured from /root/reference/models.py:47,149,212."""
+    x = jnp.zeros((1, 32, 32, 3))
+    s = jax.eval_shape(
+        lambda: SiameseUNet(3, 1).init(rng, x, x, train=False)
+    )
+    assert n_params(s) == 41_160_525
+    g = jax.eval_shape(
+        lambda: UNetGenerator(3, 3).init(
+            rng, jnp.zeros((1, 128, 128, 3)), train=False
+        )
+    )
+    assert n_params(g) == 41_828_995
+    d = jax.eval_shape(
+        lambda: NLayerDiscriminator(input_nc=6).init(
+            rng, jnp.zeros((1, 256, 256, 6)), train=False
+        )
+    )
+    assert n_params(d) == 2_768_705
+
+
+@pytest.mark.slow
+@pytest.mark.medium
 def test_siamese_unet_param_count_and_shape(rng):
     m = SiameseUNet(n_channels=3, n_classes=1)
     x = jnp.zeros((2, 32, 32, 3))
@@ -260,6 +286,8 @@ def test_concat_free_forward_and_grad_equivalence(rng):
         assert (d2 / n2) ** 0.5 < 1e-9
 
 
+@pytest.mark.slow
+@pytest.mark.medium
 def test_remat_forward_and_grad_equivalence(rng):
     """remat=True (jax.checkpoint on each DoubleConv): identical param
     tree, identical eval/train forwards, and parameter gradients equal to

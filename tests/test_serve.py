@@ -30,6 +30,8 @@ def test_arch_from_stem():
     assert serve.arch_from_stem("weights.bin") is None
 
 
+@pytest.mark.slow
+@pytest.mark.medium
 def test_discriminator_export_roundtrip_dynamic_batch(tmp_path):
     model = NLayerDiscriminator(input_nc=6)
     rng = jax.random.PRNGKey(0)
@@ -193,6 +195,8 @@ def _disc_artifact(tmp_path, h=64, w=64):
     return model, variables, path
 
 
+@pytest.mark.slow
+@pytest.mark.medium
 def test_aot_sidecar_roundtrip(tmp_path):
     """compile_artifact writes a sidecar whose deserialized executables
     produce the same outputs; uncached batch sizes fall back to the

@@ -17,16 +17,18 @@ import json
 import sys
 import time
 
-# Reference throughput: torch 2.13 CPU in this container.  Reproduce with
-# `python scripts/bench_torch_baseline.py` (runs the reference models from
-# /root/reference on this host's CPU).  Measurements vary ~±20% with host
-# load on the 1-core container (2026-08-16: 0.377 siamese / 0.597 GAN;
-# 2026-08-17 script runs: 0.488-0.582 siamese / 0.318-0.516 GAN images/s);
-# the constants below take each metric's FASTEST observed run so the
-# vs_baseline multiplier is conservative.  The reference itself publishes
-# no numbers (BASELINE.md).
-TORCH_CPU_SIAMESE_IPS = 0.5819
-TORCH_CPU_GAN_IPS = 0.597
+# Reference throughput: torch 2.13 CPU in this container, pinned by the
+# median-of-5 protocol (VERDICT r2 item 7): `python
+# scripts/bench_torch_baseline.py` on a QUIET host (background studies
+# SIGSTOPped) — warmup + 5 timed steps per model, median, with an
+# environment fingerprint.  2026-08-19 run (artifacts/
+# torch_baseline_r03.json): siamese 0.6165 (samples 0.604-0.626),
+# gan 0.5664 (0.527-0.580); fingerprint Intel Xeon @2.10GHz, nproc=1,
+# torch 2.13.0+cpu.  Earlier rounds' ad-hoc numbers (0.377-0.582
+# siamese) varied with host load; this protocol replaces them.  The
+# reference itself publishes no numbers (BASELINE.md).
+TORCH_CPU_SIAMESE_IPS = 0.6165
+TORCH_CPU_GAN_IPS = 0.5664
 
 
 def bench_siamese(batched_encoder: bool = True, batch_size: int = 4,

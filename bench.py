@@ -125,7 +125,7 @@ def _peak_flops() -> float | None:
     return None
 
 
-def bench_gan(concat_free_disc: bool = False):
+def bench_gan(concat_free_disc: bool = False, shared_gen_fwd: bool = False):
     import numpy as np
     import jax
 
@@ -133,7 +133,8 @@ def bench_gan(concat_free_disc: bool = False):
     from gan_aug_pfa_tpu.train import GANTrainer
 
     cfg = GANTrainConfig(batch_size=1, compute_dtype="bfloat16",
-                         concat_free_disc=concat_free_disc)
+                         concat_free_disc=concat_free_disc,
+                         shared_gen_fwd=shared_gen_fwd)
     trainer = GANTrainer(cfg)
     sg, sd = trainer.init_states(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
@@ -178,6 +179,9 @@ def main() -> None:
     ap.add_argument("--gan-concat-free", action="store_true",
                     help="[extension] A/B knob: run the GAN bench with "
                          "concat_free_disc (split-kernel D first conv)")
+    ap.add_argument("--gan-shared-fwd", action="store_true",
+                    help="[extension] A/B knob: run the GAN bench with "
+                         "shared_gen_fwd (one vjp'd G forward per step)")
     ap.add_argument("--flat-opt-state", action="store_true",
                     help="[extension] A/B knob: optimizer update on one "
                          "concatenated vector (optax.flatten)")
@@ -251,7 +255,8 @@ def main() -> None:
         print(f"# two-pass bench skipped: {e}", file=sys.stderr)
     try:
         gan_ips, gan_ms, ld, lg = bench_gan(
-            concat_free_disc=args.gan_concat_free
+            concat_free_disc=args.gan_concat_free,
+            shared_gen_fwd=args.gan_shared_fwd,
         )
         print(
             f"# gan: {gan_ips:.2f} img/s, {gan_ms:.2f} ms/step (bs=1 "

@@ -181,6 +181,16 @@ class GANTrainConfig:
     # to fp reassociation, no 6-channel HBM concat (the GAN step's device
     # profile showed ~21% layout copies).  Param tree unchanged.
     concat_free_disc: bool = False
+    # Compute the generator forward ONCE per step via jax.vjp and reuse it
+    # for both the D-step's detached fake and the G-step's primal+backward.
+    # The reference runs G(A) twice with identical params and input
+    # (train_gan.py:57, 66) and XLA does not CSE the duplicate (measured:
+    # pre-opt 95.8 vs post-opt 94.0 GFLOP; one G fwd is 11.5 G).  Losses
+    # and G gradients are the same math (same primal, same cotangents);
+    # the second BN running-stat update is reconstructed algebraically
+    # (s2 = (1+m)*s1 - m*s0, exact in reals, ~1e-7 float deviation), so
+    # this is opt-in rather than default.
+    shared_gen_fwd: bool = False
     # Exponential moving average of the generator params (opt-in,
     # standard GAN practice the reference lacks): after every G update,
     # ema <- decay*ema + (1-decay)*params, maintained inside the compiled

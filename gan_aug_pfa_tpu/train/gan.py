@@ -186,10 +186,26 @@ class GANTrainer:
 
         # --- D step -----------------------------------------------------
         # G forward (train mode: BN stats update; gradients stopped).
-        fake_b, g_bs = self._gen_apply(
-            state_g.params, state_g.batch_stats, real_a, train=True
-        )
-        fake_b = jax.lax.stop_gradient(fake_b)
+        gvjp = None
+        if self.config.shared_gen_fwd:
+            # [extension --shared-gen-fwd] ONE generator forward serves
+            # both sub-steps.  The reference computes G(A) twice with
+            # identical params/input (train_gan.py:57, 66) — the outputs
+            # are identical because train-mode BN normalizes with batch
+            # statistics, never the running stats.  jax.vjp keeps the
+            # forward's residuals so the G-step only needs the backward.
+            fake_b_live, gvjp, g_bs = jax.vjp(
+                lambda p: self._gen_apply(
+                    p, state_g.batch_stats, real_a, train=True
+                ),
+                state_g.params, has_aux=True,
+            )
+            fake_b = jax.lax.stop_gradient(fake_b_live)
+        else:
+            fake_b, g_bs = self._gen_apply(
+                state_g.params, state_g.batch_stats, real_a, train=True
+            )
+            fake_b = jax.lax.stop_gradient(fake_b)
 
         if self.config.batched_disc:
             # One 2B discriminator pass over [real | fake] (~8% faster
@@ -226,20 +242,50 @@ class GANTrainer:
         state_d = state_d.apply_gradients(grads=d_grads, batch_stats=d_bs)
 
         # --- G step (against the UPDATED discriminator) -------------------
-        def g_loss_fn(g_params):
-            fake, g_bs2 = self._gen_apply(
-                g_params, g_bs, real_a, train=True
-            )
-            pred_fake, d_bs2 = self._disc_apply(
-                state_d.params, state_d.batch_stats, real_a, fake, train=True
-            )
-            loss_gan = gan_bce_loss(pred_fake, True)
-            loss_l1 = l1_loss(fake, real_b) * self.config.lambda_l1
-            return loss_gan + loss_l1, (g_bs2, d_bs2)
+        if self.config.shared_gen_fwd:
+            # Downstream loss as a function of the shared primal; its
+            # cotangent pulls back through the saved G residuals.  Same
+            # chain rule as value_and_grad over g_params (identical
+            # residuals and cotangents), minus one full G forward.
+            def g_out_loss(fake):
+                pred_fake, d_bs2 = self._disc_apply(
+                    state_d.params, state_d.batch_stats, real_a, fake,
+                    train=True,
+                )
+                loss_gan = gan_bce_loss(pred_fake, True)
+                loss_l1 = l1_loss(fake, real_b) * self.config.lambda_l1
+                return loss_gan + loss_l1, d_bs2
 
-        (loss_g, (g_bs2, d_bs2)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state_g.params)
+            (loss_g, d_bs2), dfake = jax.value_and_grad(
+                g_out_loss, has_aux=True
+            )(fake_b_live)
+            (g_grads,) = gvjp(dfake)
+            # The reference's second train-mode G forward applies the BN
+            # EMA again with the SAME batch moments (same input, same
+            # params).  With s1 = m*s0 + (1-m)*bm (flax momentum m=0.9),
+            # the second update is s2 = m*s1 + (1-m)*bm = (1+m)*s1 - m*s0
+            # — exact in reals, ~1e-7 relative float deviation.
+            m = 0.9
+            g_bs2 = jax.tree.map(
+                lambda s1, s0: (1.0 + m) * s1 - m * s0,
+                g_bs, state_g.batch_stats,
+            )
+        else:
+            def g_loss_fn(g_params):
+                fake, g_bs2 = self._gen_apply(
+                    g_params, g_bs, real_a, train=True
+                )
+                pred_fake, d_bs2 = self._disc_apply(
+                    state_d.params, state_d.batch_stats, real_a, fake,
+                    train=True,
+                )
+                loss_gan = gan_bce_loss(pred_fake, True)
+                loss_l1 = l1_loss(fake, real_b) * self.config.lambda_l1
+                return loss_gan + loss_l1, (g_bs2, d_bs2)
+
+            (loss_g, (g_bs2, d_bs2)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(state_g.params)
         state_g = state_g.apply_gradients(grads=g_grads, batch_stats=g_bs2)
         if self.config.ema_decay is not None:
             d = self.config.ema_decay

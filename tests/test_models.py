@@ -123,6 +123,49 @@ def test_gan_trainer_small_architecture_step(rng):
     assert jnp.isfinite(ld) and jnp.isfinite(lg)
 
 
+def test_shared_gen_fwd_step_equivalence(rng):
+    """--shared-gen-fwd (one jax.vjp generator forward reused by both
+    sub-steps) must match the two-forward reference path: identical
+    losses, G/D params equal after one step, and the algebraically
+    reconstructed second BN running-stat update within float noise of
+    the direct double update (train/gan.py)."""
+    import numpy as np
+
+    from gan_aug_pfa_tpu.config import GANTrainConfig
+    from gan_aug_pfa_tpu.train import GANTrainer
+
+    base = dict(
+        batch_size=2, target_size=(32, 32), compute_dtype="float32",
+        num_downs=5, ngf=8, ndf=8, n_layers=2,
+    )
+    r = np.random.RandomState(0)
+    a = jnp.asarray(r.rand(4, 32, 32, 3).astype(np.float32))
+    b = jnp.asarray(r.rand(4, 32, 32, 3).astype(np.float32))
+    idx = jnp.asarray([0, 1], dtype=jnp.int32)
+
+    results = {}
+    for shared in (False, True):
+        tr = GANTrainer(GANTrainConfig(shared_gen_fwd=shared, **base))
+        sg, sd = tr.init_states(jax.random.PRNGKey(0))
+        for _ in range(2):  # two steps so step 2 consumes step 1's stats
+            sg, sd, ld, lg = tr._gan_step(sg, sd, a, b, idx)
+        results[shared] = (sg, sd, float(ld), float(lg))
+
+    (sg0, sd0, ld0, lg0), (sg1, sd1, ld1, lg1) = results[False], results[True]
+    assert abs(ld0 - ld1) < 1e-6 and abs(lg0 - lg1) < 1e-5
+    for t0, t1 in ((sg0.params, sg1.params), (sd0.params, sd1.params)):
+        for x0, x1 in zip(jax.tree.leaves(t0), jax.tree.leaves(t1)):
+            np.testing.assert_allclose(
+                np.asarray(x0), np.asarray(x1), rtol=2e-4, atol=2e-6
+            )
+    for x0, x1 in zip(
+        jax.tree.leaves(sg0.batch_stats), jax.tree.leaves(sg1.batch_stats)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(x0), np.asarray(x1), rtol=1e-4, atol=1e-6
+        )
+
+
 def test_discriminator_param_count_and_patch_shape(rng):
     d = NLayerDiscriminator(input_nc=6)
     # 256x256 input -> the golden 30x30 patch-logit map (BASELINE.md).

@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="[extension] feed D the (A,B) pair; first conv "
                         "runs as a split-kernel sum, skipping the "
                         "6-channel HBM concat (numerically equivalent)")
+    p.add_argument("--shared-gen-fwd", action="store_true",
+                   help="[extension] compute the generator forward once "
+                        "per step (jax.vjp) instead of the reference's "
+                        "twice; same losses/gradients, BN running stats "
+                        "reconstructed to ~1e-7")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace + per-step timing stats")
     p.add_argument("--debug-nans", action="store_true",
@@ -130,6 +135,7 @@ def main() -> None:
         resume=args.resume,
         batched_disc=args.batched_disc,
         concat_free_disc=args.concat_free_disc,
+        shared_gen_fwd=args.shared_gen_fwd,
         ema_decay=args.ema_decay,
         opt_momentum_dtype=args.momentum_dtype,
         opt_flat_state=args.flat_opt_state,

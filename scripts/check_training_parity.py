@@ -279,7 +279,7 @@ def run_full(root_dir: str, epochs: int = 50, seed: int = 0,
                 params, stats, opt_state, jnp.asarray(x1), jnp.asarray(x2),
                 jnp.asarray(y),
             )
-            tl, jl = float(tloss), float(jloss)
+            tl, jl = float(tloss.detach()), float(jloss)
         print(f"epoch {epoch + 1}/{epochs}: torch={tl:.4f} jax={jl:.4f} "
               f"({time.time() - t0:.0f}s)", flush=True)
         if trace_every and (epoch + 1) % trace_every == 0:

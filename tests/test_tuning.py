@@ -127,6 +127,69 @@ def test_guided_sampling_improves(tmp_path):
     assert mean_dist < 2.5  # pure uniform would average ~3.6
 
 
+def test_guided_sampler_beats_random_at_matched_budget():
+    """Distributional sampler-quality check (VERDICT r3 item 8): on a
+    deterministic synthetic objective shaped like the pipeline's actual
+    search space (loguniform lr-like axis, uniform axis, categorical with
+    one bad choice — reference train.py:169-178), ministudy's guided phase
+    must (a) beat MATCHED-BUDGET pure random search on best-found value in
+    expectation over seeds, and (b) concentrate its late-phase samples near
+    the optimum far more than the uniform prior would.  This validates the
+    SAMPLER; the pruner is separately golden-replay-validated against the
+    reference's real Optuna DB."""
+    import random as _random
+
+    LR_OPT = 1e-3  # optimum of the log-axis
+
+    def f(lr, alpha, opt_name):
+        # Smooth bowl in (log lr, alpha) + categorical penalty; global
+        # optimum value 0 at (1e-3, 0.6, "good").
+        return ((math.log10(lr) + 3.0) ** 2
+                + (alpha - 0.6) ** 2
+                + (0.5 if opt_name == "bad" else 0.0))
+
+    N_TRIALS = 64
+    guided_best, random_best, late_dists = [], [], []
+    for seed in range(5):
+        study = create_study(study_name=f"q{seed}", storage=None,
+                             sampler_seed=seed)
+
+        def objective(trial):
+            lr = trial.suggest_float("lr", 1e-5, 1e-1, log=True)
+            alpha = trial.suggest_float("alpha", 0.0, 1.0)
+            opt = trial.suggest_categorical("opt", ["good", "bad"])
+            return f(lr, alpha, opt)
+
+        study.optimize(objective, n_trials=N_TRIALS)
+        guided_best.append(study.best_trial.value)
+
+        rng = _random.Random(seed)
+        random_best.append(min(
+            f(math.exp(rng.uniform(math.log(1e-5), math.log(1e-1))),
+              rng.uniform(0.0, 1.0), rng.choice(["good", "bad"]))
+            for _ in range(N_TRIALS)
+        ))
+
+        # Late-phase concentration: |log10(lr) - log10(opt)| over the last
+        # quarter of trials.  The uniform prior's mean distance on this
+        # axis is 4/3 decades (optimum centered in [-5, -1]).
+        late = study.trials[-N_TRIALS // 4:]
+        late_dists.extend(abs(math.log10(t.params["lr"]) + 3.0)
+                          for t in late)
+
+    mean_guided = sum(guided_best) / len(guided_best)
+    mean_random = sum(random_best) / len(random_best)
+    assert mean_guided < mean_random, (
+        f"guided {mean_guided:.4f} should beat random {mean_random:.4f} "
+        f"at matched budget ({N_TRIALS} trials x 5 seeds)")
+    mean_late = sum(late_dists) / len(late_dists)
+    assert mean_late < 0.9, (  # well under the uniform prior's 4/3 decades
+        # (measured 0.66 at these seeds; slack so an RNG-stream tweak
+        # doesn't false-alarm — the claim is concentration, not a constant)
+        f"late-phase lr samples not concentrated: mean |dlog10|="
+        f"{mean_late:.3f} vs uniform prior 1.333")
+
+
 def test_load_study_reads_real_optuna_schema(tmp_path):
     """load_study transparently reads a study written by REAL Optuna (its
     RDB schema) — e.g. the reference's shipped optuna_study.db — including

@@ -92,7 +92,15 @@ class SiameseTrainConfig:
     # workload and the axon tunnel showed occasional instability under
     # Mosaic launches.
     fused_loss: bool = False
-    pallas_augment: bool = False
+    # None = auto: ON for the native-resolution augment path on a real TPU
+    # backend (measured 2026-08-20, bs4 native-256²→128² full train step:
+    # 87.7 ms/step pure-XLA vs 39.6 ms/step with the fused native-extent
+    # photometric kernel — the kernel's opaque call boundary breaks a
+    # pathological XLA fusion in the combined aug+fwd/bwd program; the
+    # aug-only scans are at parity, 20.9 vs 20.8 ms — and OFF for the
+    # fixed-size chain (XLA parity there) and on CPU (interpret mode is
+    # for tests, not speed).  True/False force it either way.
+    pallas_augment: Optional[bool] = None
     # Run the shared encoder as ONE 2B-batch pass (~15% faster train step;
     # train-mode BN uses joint batch stats over both images — eval forward
     # and the param tree are identical to the reference's two-pass form).
@@ -243,6 +251,13 @@ class EvalConfig:
     # Write the full metrics report (overall + per-city means + sweep) as
     # one JSON file in addition to the printed tables.
     json_out: Optional[str] = None
+    # [extension] serve a pre-exported artifact (export_model.py) instead
+    # of restoring a checkpoint; with an AOT sidecar (--aot-batch-sizes)
+    # the evaluation pays no XLA compile at all (serve.load_serving_fn).
+    serving_artifact: Optional[str] = None
+    # Model compute dtype for evaluation (bfloat16 matches training's MXU
+    # default; float32 for exact-reproducibility comparisons).
+    compute_dtype: str = "bfloat16"
 
 
 @dataclasses.dataclass
@@ -264,6 +279,10 @@ class GenerateConfig:
     # reference's fp32 torch path (scripts/check_png_bitparity.py);
     # bfloat16 is available for throughput if ever needed.
     compute_dtype: str = "float32"
+    # [extension] serve a pre-exported generator artifact (export_model.py)
+    # instead of restoring the checkpoint; with an AOT sidecar the synth
+    # stage pays no XLA compile at all (serve.load_serving_fn).
+    serving_artifact: Optional[str] = None
 
 
 def parse_target_size(value: str) -> Tuple[int, int]:

@@ -609,16 +609,12 @@ def resize_from_native_nearest(label, h, w, out_size):
     return axis_pass(label, w, out_size[1], 1)
 
 
-def augment_sample_native(img1, img2, label, size_hw, out_size, p):
-    """The full augment=True chain for ONE padded native-size sample given
-    explicit params, producing target-size outputs.  Same stage order and
-    per-stage arithmetic as apply_augment_sample, plus the resize step the
-    reference runs at position 5 (dataset.py:186-192)."""
+def _native_affine(img1, img2, label, size_hw, p):
+    """Native chain stage 1: the joint affine at native extent (bilinear
+    imgs / nearest label) on a padded buffer."""
     h, w = size_hw[0], size_hw[1]
     hp, wp = img1.shape[0], img1.shape[1]
     c = img1.shape[-1]
-
-    # 1. joint affine at native extent (bilinear imgs / nearest label).
     ys, xs = _inverse_affine_coords(
         hp, wp, p["angle"], (p["tx"], p["ty"]), p["scale"], p["shear"],
         hw=(h, w),
@@ -629,18 +625,26 @@ def augment_sample_native(img1, img2, label, size_hw, out_size, p):
     img1, img2 = pair[..., :c], pair[..., c:]
     if label is not None:
         label = _sample_nearest(label, ys, xs, hw=(h, w))
+    return img1, img2, label
 
-    # 2-4. photometric (masked contrast mean) + blur + shared flips.
+
+def _native_photometric_one(img, factors, order, sigma, size_hw):
+    """Native chain stages 2-3 for one image: masked jitter + dynamic-extent
+    blur (the jnp reference for the native-extent Pallas kernel)."""
+    h, w = size_hw[0], size_hw[1]
+    hp, wp = img.shape[0], img.shape[1]
     mask = _valid_mask(hp, wp, h, w)
     count = (h * w).astype(jnp.float32)
-    img1 = apply_color_jitter_masked(
-        img1, p["factors1"], p["order1"], mask, count
-    )
-    img2 = apply_color_jitter_masked(
-        img2, p["factors2"], p["order2"], mask, count
-    )
-    img1 = gaussian_blur3_dyn(img1, p["sigma1"], h, w)
-    img2 = gaussian_blur3_dyn(img2, p["sigma2"], h, w)
+    img = apply_color_jitter_masked(img, factors, order, mask, count)
+    return gaussian_blur3_dyn(img, sigma, h, w)
+
+
+def _native_tail(img1, img2, label, size_hw, out_size, p):
+    """Native chain stages 4-6: shared dynamic flips, shared rotation at
+    native extent, resize to target (reference chain step 5), normalize."""
+    h, w = size_hw[0], size_hw[1]
+    hp, wp = img1.shape[0], img1.shape[1]
+    c = img1.shape[-1]
     img1 = _apply_flips_dyn(img1, p["do_h"], p["do_v"], h, w)
     img2 = _apply_flips_dyn(img2, p["do_h"], p["do_v"], h, w)
     if label is not None:
@@ -672,21 +676,68 @@ def augment_sample_native(img1, img2, label, size_hw, out_size, p):
     return normalize(img1), normalize(img2), label
 
 
+def augment_sample_native(img1, img2, label, size_hw, out_size, p):
+    """The full augment=True chain for ONE padded native-size sample given
+    explicit params, producing target-size outputs.  Same stage order and
+    per-stage arithmetic as apply_augment_sample, plus the resize step the
+    reference runs at position 5 (dataset.py:186-192)."""
+    img1, img2, label = _native_affine(img1, img2, label, size_hw, p)
+    img1 = _native_photometric_one(
+        img1, p["factors1"], p["order1"], p["sigma1"], size_hw
+    )
+    img2 = _native_photometric_one(
+        img2, p["factors2"], p["order2"], p["sigma2"], size_hw
+    )
+    return _native_tail(img1, img2, label, size_hw, out_size, p)
+
+
 def augment_batch_native(rng, img1, img2, labels, sizes, out_size,
-                         cfg=AugmentConfig()):
+                         cfg=AugmentConfig(), use_pallas: bool = False):
     """Batched native-resolution augment: (B, Hp, Wp, C) padded imgs,
     (B, Hp, Wp) padded labels (or None), (B, 2) int32 native sizes ->
     target-size augmented batch.  Per-sample params are drawn from the same
     sampler as the fixed-size path (max translation scales with the
     NATIVE size, like the reference's degrees-of-the-native-image
-    semantics)."""
+    semantics).
+
+    use_pallas=True routes stages 2-3 (masked jitter + dynamic-extent
+    blur) through the fused native-extent Pallas kernel
+    (ops/pallas_kernels/photometric.photometric_native_batch) — one VMEM
+    pass instead of ~6 HBM round-trips per image at padded size; the
+    geometric warps/flips/resize stay in XLA either way."""
     b = img1.shape[0]
     keys = jax.random.split(rng, b)
     p = jax.vmap(
         lambda k, s: sample_augment_params(k, s[0], s[1], cfg)
     )(keys, sizes)
     has_labels = labels is not None
+    if not use_pallas:
+        return jax.vmap(
+            augment_sample_native,
+            in_axes=(0, 0, 0 if has_labels else None, 0, None, 0),
+        )(img1, img2, labels, sizes, out_size, p)
+
+    from ..ops.pallas_kernels import photometric_native_batch
+
+    i1, i2, labels = jax.vmap(
+        _native_affine, in_axes=(0, 0, 0 if has_labels else None, 0, 0)
+    )(img1, img2, labels, sizes, p)
+    hw = sizes.astype(jnp.float32)
+    count = (sizes[:, 0] * sizes[:, 1]).astype(jnp.float32)[:, None]
+
+    def pack(factors, order, sigma):
+        return jnp.concatenate(
+            [factors.astype(jnp.float32),
+             order.astype(jnp.float32)[:, None],
+             sigma.astype(jnp.float32)[:, None],
+             hw, count],
+            axis=1,
+        )
+
+    i1 = photometric_native_batch(
+        i1, pack(p["factors1"], p["order1"], p["sigma1"]))
+    i2 = photometric_native_batch(
+        i2, pack(p["factors2"], p["order2"], p["sigma2"]))
     return jax.vmap(
-        augment_sample_native,
-        in_axes=(0, 0, 0 if has_labels else None, 0, None, 0),
-    )(img1, img2, labels, sizes, out_size, p)
+        _native_tail, in_axes=(0, 0, 0 if has_labels else None, 0, None, 0)
+    )(i1, i2, labels, sizes, out_size, p)

@@ -11,16 +11,20 @@ mode so their numerics are testable without TPU hardware.
   photometric.photometric_flip_batch — per-sample color-jitter + Gaussian
       blur + joint flips in one VMEM-resident pass (the BASELINE.json-named
       fused augmentation kernel; reference dataset.py:38-134).
+  photometric.photometric_native_batch — the native-resolution variant
+      (masked contrast mean + dynamic-extent blur) for the default
+      augment-then-resize chain (reference dataset.py:172-193).
   metrics.confusion_counts_batch — per-sample tp/fp/fn/tn in one pass
       (reference evaluate.py:34-64).
 """
 
 from .fused_loss import focal_dice_loss_fused
 from .metrics import confusion_counts_batch
-from .photometric import photometric_flip_batch
+from .photometric import photometric_flip_batch, photometric_native_batch
 
 __all__ = [
     "focal_dice_loss_fused",
     "confusion_counts_batch",
     "photometric_flip_batch",
+    "photometric_native_batch",
 ]

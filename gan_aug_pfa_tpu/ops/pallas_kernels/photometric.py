@@ -136,3 +136,139 @@ def photometric_flip_batch(
     flip_v = (params[:, 6] > 0.5)[:, None, None, None]
     out = jnp.where(flip_h, out[:, :, ::-1, :], out)
     return jnp.where(flip_v, out[:, ::-1, :, :], out)
+
+
+# ---------------------------------------------------------------------------
+# Native-resolution variant: the same fused jitter+blur pass with the
+# sample's true (h, w) extent carried as SMEM scalars — the default
+# `--tune` path since the augment-then-resize order became the default
+# (reference dataset.py:172-193).  The contrast mean is masked to the
+# native region (transforms.adjust_contrast_masked) and the blur reflects
+# at the DYNAMIC bottom/right boundary (transforms.gaussian_blur3_dyn).
+#
+# Param row protocol (B, 8) f32:
+#   [brightness, contrast, saturation, order_idx, sigma, h, w, count]
+#
+# Values in the padded tail (rows >= h, cols >= w) are unspecified on
+# output — the downstream native chain (dynamic flips, hw-clamped warp
+# gathers, native-extent resize) never reads them (transforms.py), and the
+# equality tests compare in-extent regions / full-chain outputs.
+# ---------------------------------------------------------------------------
+
+
+def _apply_jitter_masked(x, factors, order_idx, mask, count):
+    """torchvision ColorJitter on a (3, H, W) block with the contrast mean
+    taken over the native (h, w) region only (mirrors
+    transforms.apply_color_jitter_masked)."""
+
+    def brightness(x):
+        return jnp.clip(x * factors[0], 0.0, 1.0)
+
+    def contrast(x):
+        m = jnp.sum(_gray(x) * mask) / count
+        return jnp.clip(m * (1.0 - factors[1]) + x * factors[1], 0.0, 1.0)
+
+    def saturation(x):
+        g = _gray(x)[None]
+        return jnp.clip(g * (1.0 - factors[2]) + x * factors[2], 0.0, 1.0)
+
+    ops = [brightness, contrast, saturation]
+
+    def chain(perm):
+        def fn(x):
+            for i in perm:
+                x = ops[i](x)
+            return x
+        return fn
+
+    return jax.lax.switch(order_idx, [chain(p) for p in _JITTER_ORDERS], x)
+
+
+def _blur3_native(x, sigma, h, w):
+    """3x3 separable Gaussian with reflect-101 at the dynamic (h, w)
+    boundary of a padded (3, Hp, Wp) block.  Static shifts + one dynamic
+    row/col fix-up replace transforms.gaussian_blur3_dyn's index gathers
+    (Mosaic has no cross-sublane gather); the in-extent per-pixel
+    arithmetic (prev*k0 + mid*k1 + next*k2, same kernel normalization) is
+    identical."""
+    # Scalar taps (no array constants — Mosaic kernels can't capture
+    # them): k_edge = e/(1+2e), k_mid = 1/(1+2e) with e = exp(-0.5/σ²),
+    # the normalized [e, 1, e] kernel of transforms.gaussian_blur3_dyn.
+    e = jnp.exp(-0.5 / (sigma * sigma))
+    s = (e + 1.0) + e
+    k_edge = e / s
+    k_mid = 1.0 / s
+
+    # Rows (axis 1).  prev[i] = x[|i-1|] (static reflect at the top);
+    # next[i] = x[i+1] for i < h-1, x[h-2] (== prev[i]) at i = h-1.
+    prev = jnp.concatenate([x[:, 1:2], x[:, :-1]], axis=1)
+    nxt = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    nxt = jnp.where(row == h - 1, prev, nxt)
+    x = prev * k_edge + x * k_mid + nxt * k_edge
+
+    # Cols (axis 2), same construction at dynamic w.
+    prev = jnp.concatenate([x[:, :, 1:2], x[:, :, :-1]], axis=2)
+    nxt = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    nxt = jnp.where(col == w - 1, prev, nxt)
+    return prev * k_edge + x * k_mid + nxt * k_edge
+
+
+def _kernel_native(img_ref, par_ref, out_ref):
+    i = pl.program_id(0)
+    x = img_ref[0]  # (3, H, W)
+    factors = jnp.stack([par_ref[i, 0], par_ref[i, 1], par_ref[i, 2]])
+    order_idx = par_ref[i, 3].astype(jnp.int32)
+    sigma = par_ref[i, 4]
+    h = par_ref[i, 5].astype(jnp.int32)
+    w = par_ref[i, 6].astype(jnp.int32)
+    count = par_ref[i, 7]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape[1:], 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape[1:], 1)
+    mask = ((row < h) & (col < w)).astype(jnp.float32)
+
+    x = _apply_jitter_masked(x, factors, order_idx, mask, count)
+    out_ref[0] = _blur3_native(x, sigma, h, w)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def photometric_native_chw(
+    imgs_chw: jnp.ndarray,
+    params: jnp.ndarray,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """(B, 3, Hp, Wp) padded images in [0,1] + (B, 8) native-extent param
+    rows -> fused masked-jitter + dynamic-blur images (padded tail
+    unspecified)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, c, h, w = imgs_chw.shape
+    return pl.pallas_call(
+        _kernel_native,
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=bool(interpret),
+    )(imgs_chw.astype(jnp.float32), params.astype(jnp.float32))
+
+
+def photometric_native_batch(
+    imgs_nhwc: jnp.ndarray,
+    params: jnp.ndarray,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """NHWC wrapper for the native-extent fused kernel.  The (dynamic)
+    flips stay with the caller — in the native chain they are index-gather
+    ops shared with the label (transforms._apply_flips_dyn)."""
+    chw = jnp.transpose(imgs_nhwc, (0, 3, 1, 2))
+    out = photometric_native_chw(chw, params, interpret=interpret)
+    return jnp.transpose(out, (0, 2, 3, 1))

@@ -67,13 +67,18 @@ class SiameseTrainer:
         self.native_out_size = (
             tuple(native_out_size) if native_out_size and augment else None
         )
-        if self.native_out_size is not None and config.pallas_augment:
-            # The fused Pallas photometric kernel is fixed-shape; the
-            # native path's dynamic per-sample extents can't use it.
-            print(
-                "--pallas-augment has no native-resolution variant; the "
-                "--native-aug path uses the XLA photometric ops instead."
+        # pallas_augment=None -> auto: the fused native-extent photometric
+        # kernel on by default for the native chain on a real TPU (2.2x
+        # measured full-step win, scripts/bench_native_aug.py — see
+        # SiameseTrainConfig.pallas_augment); the fixed-size chain and CPU
+        # stay on XLA unless forced.
+        if config.pallas_augment is None:
+            self._pallas_augment = (
+                self.native_out_size is not None
+                and jax.default_backend() == "tpu"
             )
+        else:
+            self._pallas_augment = bool(config.pallas_augment)
         # Optional per-step profiler (utils/profiling.StepTimer), attached
         # by the pipeline when config.profile_dir is set.
         self.step_timer = None
@@ -161,7 +166,7 @@ class SiameseTrainer:
             img1, img2, labels = self._constrain_spatial(img1, img2, labels)
             img1, img2, labels = augment_batch_native(
                 rng, img1, img2, labels, sizes, self.native_out_size,
-                self.aug_config,
+                self.aug_config, use_pallas=self._pallas_augment,
             )
         else:
             labels = jnp.take(dsl, idx, axis=0)
@@ -176,7 +181,7 @@ class SiameseTrainer:
         if self.augment:
             img1, img2, labels = augment_batch(
                 rng, img1, img2, labels, self.aug_config,
-                use_pallas=self.config.pallas_augment,
+                use_pallas=self._pallas_augment,
             )
         else:
             img1, img2 = normalize(img1), normalize(img2)

@@ -183,6 +183,89 @@ def test_pallas_augment_no_labels():
     )
 
 
+def _native_batch(b=4, hp=32, wp=32, seed=11):
+    r = np.random.RandomState(seed)
+    i1 = jnp.asarray(r.rand(b, hp, wp, 3).astype(np.float32))
+    i2 = jnp.asarray(r.rand(b, hp, wp, 3).astype(np.float32))
+    lb = jnp.asarray((r.rand(b, hp, wp) > 0.7).astype(np.int32))
+    # Mixed native extents, including one full-size sample.
+    sizes = jnp.asarray(
+        [[hp, wp], [hp - 7, wp - 3], [hp // 2, wp - 1], [hp - 1, wp // 2]][:b],
+        dtype=jnp.int32,
+    )
+    return i1, i2, lb, sizes
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+@pytest.mark.slow
+def test_pallas_native_augment_matches_jnp(seed):
+    """Full native-resolution chain: the fused native-extent kernel path
+    must produce the same target-size outputs as the XLA path (padded-tail
+    values are unspecified, but the chain's output never depends on
+    them)."""
+    i1, i2, lb, sizes = _native_batch()
+    key = jax.random.PRNGKey(seed)
+    out = (16, 16)
+    a = T.augment_batch_native(key, i1, i2, lb, sizes, out)
+    b = T.augment_batch_native(key, i1, i2, lb, sizes, out, use_pallas=True)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(x, np.float32), np.asarray(y, np.float32), atol=2e-6
+        )
+
+
+@pytest.mark.slow
+def test_pallas_native_photometric_in_extent_matches_jnp():
+    """The native-extent kernel alone vs the vmapped masked-jitter +
+    dynamic-blur reference, compared on each sample's valid (h, w)
+    region."""
+    from gan_aug_pfa_tpu.ops.pallas_kernels import photometric_native_batch
+
+    i1, _, _, sizes = _native_batch(seed=23)
+    b = i1.shape[0]
+    r = np.random.RandomState(3)
+    factors = jnp.asarray(r.uniform(0.7, 1.3, (b, 3)).astype(np.float32))
+    order = jnp.asarray(r.randint(0, 6, (b,)).astype(np.int32))
+    sigma = jnp.asarray(r.uniform(0.1, 1.0, (b,)).astype(np.float32))
+
+    ref = jax.vmap(T._native_photometric_one)(i1, factors, order, sigma,
+                                              sizes)
+    hw = sizes.astype(jnp.float32)
+    count = (sizes[:, 0] * sizes[:, 1]).astype(jnp.float32)[:, None]
+    params = jnp.concatenate(
+        [factors, order.astype(jnp.float32)[:, None],
+         sigma[:, None], hw, count], axis=1)
+    got = photometric_native_batch(i1, params)
+    for i in range(b):
+        h, w = int(sizes[i, 0]), int(sizes[i, 1])
+        np.testing.assert_allclose(
+            np.asarray(got[i, :h, :w]), np.asarray(ref[i, :h, :w]),
+            atol=2e-6,
+        )
+
+
+@pytest.mark.slow
+def test_trainer_native_pallas_augment_step():
+    """A native-resolution trainer step with --pallas-augment runs the
+    fused native kernel (interpret mode on CPU) and produces a finite
+    loss."""
+    from gan_aug_pfa_tpu.config import SiameseTrainConfig
+    from gan_aug_pfa_tpu.train import SiameseTrainer
+
+    cfg = SiameseTrainConfig(
+        batch_size=2, compute_dtype="float32", data_parallel=False,
+        pallas_augment=True,
+    )
+    trainer = SiameseTrainer(cfg, augment=True, native_out_size=(16, 16))
+    state = trainer.init_state(jax.random.PRNGKey(0), (16, 16))
+    i1, i2, lb, sizes = _native_batch(b=4)
+    idx = jnp.arange(2, dtype=jnp.int32)
+    state, loss = trainer._train_step(
+        state, i1, i2, (lb, sizes), idx, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(loss))
+
+
 @pytest.mark.slow
 def test_trainer_fused_flags_smoke():
     """A SiameseTrainer step with both Pallas opt-ins enabled runs and

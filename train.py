@@ -89,9 +89,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fused-loss", action="store_true",
                    help="[extension] use the single-pass Pallas FocalDice "
                         "kernel (ops/pallas_kernels/fused_loss.py)")
-    p.add_argument("--pallas-augment", action="store_true",
-                   help="[extension] route photometric augmentation through "
-                        "the fused Pallas kernel")
+    p.add_argument("--pallas-augment", action="store_true", default=None,
+                   help="[extension] force the fused Pallas photometric "
+                        "kernel ON (default: auto — ON for the native-"
+                        "resolution augment chain on TPU, where it wins "
+                        "2.2x on the full train step; OFF otherwise)")
+    p.add_argument("--no-pallas-augment", dest="pallas_augment",
+                   action="store_false",
+                   help="[extension] force the Pallas photometric kernel "
+                        "OFF (pure-XLA augmentation)")
     p.add_argument("--batched-encoder", action="store_true",
                    help="[extension] run the shared Siamese encoder as one "
                         "2B-batch pass (~15%% faster; train-mode BN stats "

@@ -69,6 +69,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "file at this path")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="[extension] disable the persistent XLA compilation cache")
+    p.add_argument("--serving-artifact", type=str, default=None,
+                   help="[extension] use a pre-exported siamese serving "
+                        "artifact (export_model.py) instead of a "
+                        "checkpoint; with an AOT sidecar the evaluation "
+                        "pays no XLA compile (mutually exclusive with "
+                        "--ensemble)")
+    p.add_argument("--compute-dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="[extension] model compute dtype for evaluation")
     return p
 
 
@@ -103,6 +112,8 @@ def main() -> None:
         threshold=args.threshold,
         threshold_sweep=args.threshold_sweep,
         json_out=args.json_out,
+        serving_artifact=args.serving_artifact,
+        compute_dtype=args.compute_dtype,
     )
     from gan_aug_pfa_tpu import pipelines
 

@@ -642,23 +642,47 @@ def run_generate_synthetic(
         )
         n_total, cities = len(ds), ds.cities
 
-    gan_cfg = GANTrainConfig(
-        target_size=gen_cfg.target_size, n_channels=gen_cfg.n_channels,
-        num_downs=gen_cfg.num_downs, ngf=gen_cfg.ngf,
-        compute_dtype=gen_cfg.compute_dtype,
-    )
-    trainer = GANTrainer(gan_cfg)
-    sg, _ = trainer.init_states(jax.random.PRNGKey(0))
-    gen_path = os.path.join(
-        data_cfg.root_dir, gen_cfg.gan_checkpoint_dir,
-        gen_cfg.generator_checkpoint_name,
-    )
-    if verbose:
-        print(f"Loading GAN generator from: {gen_path}")
-    if not os.path.exists(gen_path):
-        print(f"Error: Generator checkpoint not found at {gen_path}")
-        return 0
-    sg = ckpt.restore_checkpoint(gen_path, sg)
+    if gen_cfg.serving_artifact:
+        # [extension] pre-exported artifact path: same [0,1]->[0,1]
+        # contract as trainer.generate (serve._inference_fn folds the
+        # normalize/denormalize in); with an AOT sidecar the stage runs
+        # without any XLA compile.
+        from . import serve
+
+        if verbose:
+            print(f"Loading serving artifact: {gen_cfg.serving_artifact}")
+        if not os.path.exists(gen_cfg.serving_artifact):
+            print(f"Error: Serving artifact not found at "
+                  f"{gen_cfg.serving_artifact}")
+            return 0
+        header, serve_fn = serve.load_serving_fn(gen_cfg.serving_artifact)
+        if verbose and header.get("aot_batch_sizes"):
+            print(f"  AOT sidecar batch sizes: {header['aot_batch_sizes']}")
+        trainer = sg = None
+
+        def generate(batch):
+            return serve_fn(batch)
+    else:
+        gan_cfg = GANTrainConfig(
+            target_size=gen_cfg.target_size, n_channels=gen_cfg.n_channels,
+            num_downs=gen_cfg.num_downs, ngf=gen_cfg.ngf,
+            compute_dtype=gen_cfg.compute_dtype,
+        )
+        trainer = GANTrainer(gan_cfg)
+        sg, _ = trainer.init_states(jax.random.PRNGKey(0))
+        gen_path = os.path.join(
+            data_cfg.root_dir, gen_cfg.gan_checkpoint_dir,
+            gen_cfg.generator_checkpoint_name,
+        )
+        if verbose:
+            print(f"Loading GAN generator from: {gen_path}")
+        if not os.path.exists(gen_path):
+            print(f"Error: Generator checkpoint not found at {gen_path}")
+            return 0
+        sg = ckpt.restore_checkpoint(gen_path, sg)
+
+        def generate(batch):
+            return trainer.generate(sg, batch)
 
     out_base = os.path.join(data_cfg.root_dir, gen_cfg.synthetic_data_dir)
     os.makedirs(os.path.join(out_base, "images"), exist_ok=True)
@@ -676,7 +700,7 @@ def run_generate_synthetic(
             h1 = hlb = None
             batch = dev1[i:i + bs]
         n_batch = batch.shape[0]
-        fake = np.asarray(trainer.generate(sg, batch))  # [0,1]
+        fake = np.asarray(generate(batch))  # [0,1]
         for j in range(n_batch):
             sample_idx = i + j
             city = cities[sample_idx]
@@ -766,29 +790,61 @@ def run_evaluation(
     # tests/test_models.py) and ~25% faster — safe default for inference.
     train_cfg = SiameseTrainConfig(
         n_channels=eval_cfg.n_channels, n_classes=eval_cfg.n_classes,
-        batched_encoder=True,
+        batched_encoder=True, compute_dtype=eval_cfg.compute_dtype,
     )
     trainer = SiameseTrainer(train_cfg)
     # Ensembling (reference README.md:150-153 Step 7, claimed there but
     # never implemented): restore every checkpoint and average sigmoid
     # probabilities across models.
-    if eval_cfg.ensemble_paths:
-        checkpoint_paths = list(eval_cfg.ensemble_paths)
-    else:
-        checkpoint_paths = [eval_cfg.checkpoint_path or os.path.join(
-            data_cfg.root_dir, "siamese_checkpoints",
-            ckpt.checkpoint_name("best_model"),
-        )]
-    states = []
-    for path in checkpoint_paths:
-        if not os.path.exists(path):
-            print(f"Error: Checkpoint file not found at {path}")
+    if eval_cfg.serving_artifact:
+        # [extension] pre-exported artifact (export_model.py) instead of a
+        # checkpoint: the exported fn is sigmoid(model(img1, img2)) over
+        # NORMALIZED inputs; with an AOT sidecar the whole evaluation pays
+        # no XLA compile (serve.load_serving_fn).
+        from . import serve
+        from .data.transforms import normalize as _normalize
+
+        if eval_cfg.ensemble_paths:
+            print("Error: --serving-artifact and --ensemble are mutually "
+                  "exclusive (export one artifact per model).")
             return None
-        base = trainer.init_state(jax.random.PRNGKey(0), eval_cfg.target_size)
-        states.append(ckpt.restore_checkpoint(path, base))
-    if verbose and len(states) > 1:
-        print(f"Ensembling {len(states)} checkpoints (averaged sigmoid "
-              f"probabilities).")
+        if not os.path.exists(eval_cfg.serving_artifact):
+            print(f"Error: Serving artifact not found at "
+                  f"{eval_cfg.serving_artifact}")
+            return None
+        header, serve_fn = serve.load_serving_fn(eval_cfg.serving_artifact)
+        if verbose:
+            print(f"Serving artifact: {eval_cfg.serving_artifact} "
+                  f"(aot={header.get('aot_batch_sizes', 'none')})")
+
+        def predict_probs(img1, img2):
+            return serve_fn(_normalize(img1), _normalize(img2))
+    else:
+        if eval_cfg.ensemble_paths:
+            checkpoint_paths = list(eval_cfg.ensemble_paths)
+        else:
+            checkpoint_paths = [eval_cfg.checkpoint_path or os.path.join(
+                data_cfg.root_dir, "siamese_checkpoints",
+                ckpt.checkpoint_name("best_model"),
+            )]
+        states = []
+        for path in checkpoint_paths:
+            if not os.path.exists(path):
+                print(f"Error: Checkpoint file not found at {path}")
+                return None
+            base = trainer.init_state(
+                jax.random.PRNGKey(0), eval_cfg.target_size
+            )
+            states.append(ckpt.restore_checkpoint(path, base))
+        if verbose and len(states) > 1:
+            print(f"Ensembling {len(states)} checkpoints (averaged sigmoid "
+                  f"probabilities).")
+
+        def predict_probs(img1, img2):
+            prob_sum = trainer.predict(states[0], img1, img2)
+            for s in states[1:]:
+                prob_sum = prob_sum + trainer.predict(s, img1, img2)
+            return prob_sum / len(states)
 
     dev = None if stream else trainer._device_arrays(ds)
     bs = eval_cfg.batch_size
@@ -820,10 +876,7 @@ def run_evaluation(
             img1 = dev[0][idx[0]:idx[-1] + 1]
             img2 = dev[1][idx[0]:idx[-1] + 1]
             labels = ds.labels[idx[0]:idx[-1] + 1]
-        prob_sum = trainer.predict(states[0], img1, img2)
-        for s in states[1:]:
-            prob_sum = prob_sum + trainer.predict(s, img1, img2)
-        probs = np.asarray(prob_sum / len(states))[..., 0]
+        probs = np.asarray(predict_probs(img1, img2))[..., 0]
         if eval_cfg.post_process:
             # Morphological opening+closing (reference README.md:145-148
             # Step 6, implemented here — ops/morphology.py). Output is a
@@ -912,7 +965,9 @@ def run_evaluation(
         report = {
             "n_samples": n,
             "threshold": eval_cfg.threshold,
-            "checkpoints": checkpoint_paths,
+            "checkpoints": ([eval_cfg.serving_artifact]
+                            if eval_cfg.serving_artifact
+                            else checkpoint_paths),
             "post_process": eval_cfg.post_process,
             "overall": overall,
             "per_city": {
@@ -986,7 +1041,7 @@ def evaluate_single_pair(
 
     train_cfg = SiameseTrainConfig(
         n_channels=eval_cfg.n_channels, n_classes=eval_cfg.n_classes,
-        batched_encoder=True,
+        batched_encoder=True, compute_dtype=eval_cfg.compute_dtype,
     )
     trainer = SiameseTrainer(train_cfg)
     if eval_cfg.ensemble_paths:

@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "re-decodes per batch (corpora beyond host RAM)")
     p.add_argument("--no-compile-cache", action="store_true",
                    help="[extension] disable the persistent XLA compilation cache")
+    p.add_argument("--serving-artifact", type=str, default=None,
+                   help="[extension] use a pre-exported generator serving "
+                        "artifact (export_model.py) instead of the "
+                        "checkpoint; with an AOT sidecar "
+                        "(--aot-batch-sizes) this stage pays no XLA "
+                        "compile")
     return p
 
 
@@ -77,6 +83,7 @@ def main() -> None:
         num_downs=args.num_downs,
         ngf=args.ngf,
         compute_dtype=args.compute_dtype,
+        serving_artifact=args.serving_artifact,
     )
     from gan_aug_pfa_tpu.pipelines import run_generate_synthetic
 

@@ -194,6 +194,132 @@ def test_siamese_tensor_parallel_matches_single_device():
     assert tp_val == pytest.approx(ref_val, rel=2e-3)
 
 
+def _assert_trees_bitwise_equal(a, b, what: str):
+    la = jax.tree_util.tree_leaves_with_path(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for (path, xa), xb in zip(la, lb):
+        na, nb = np.asarray(xa), np.asarray(xb)
+        assert na.dtype == nb.dtype and na.shape == nb.shape, (what, path)
+        assert np.array_equal(na, nb), (
+            f"{what} leaf {jax.tree_util.keystr(path)} not bitwise equal "
+            f"after round-trip (max|d|="
+            f"{np.max(np.abs(na.astype(np.float64) - nb.astype(np.float64)))})"
+        )
+
+
+@pytest.mark.slow
+def test_sharded_siamese_checkpoint_portable_across_topologies(tmp_path):
+    """Save a Siamese train state under a ('data','spatial','model')=(2,2,2)
+    mesh, restore it (a) on a single device and (b) under a different
+    (4,1,1) topology: params/batch_stats/opt_state/step must be BITWISE
+    equal, and the restored state must be usable (validate() under the new
+    topology matches the saving topology's value).  On real multi-chip
+    hardware this save-here-restore-there path is the first thing that
+    breaks (VERDICT r3 item 7)."""
+    from gan_aug_pfa_tpu import checkpoint as ckpt
+    from gan_aug_pfa_tpu.config import SiameseTrainConfig
+    from gan_aug_pfa_tpu.parallel.mesh import param_shardings
+    from gan_aug_pfa_tpu.train import SiameseTrainer
+
+    r = np.random.RandomState(0)
+    n = 4
+    ds = (
+        r.rand(n, 16, 16, 3).astype(np.float32),
+        r.rand(n, 16, 16, 3).astype(np.float32),
+        (r.rand(n, 16, 16) > 0.8).astype(np.int32),
+    )
+    cfg = SiameseTrainConfig(batch_size=2, compute_dtype="float32")
+
+    mesh_a = make_mesh(8, axis_names=("data", "spatial", "model"),
+                       shape=(2, 2, 2))
+    tr_a = SiameseTrainer(cfg, mesh=mesh_a, augment=False)
+    state_a = tr_a.init_state(jax.random.PRNGKey(0), (16, 16))
+    dev_a = put_dataset_global(mesh_a, *ds)
+    # One real step so opt_state moments and step count are non-trivial.
+    state_a, _ = tr_a.train_epoch(
+        state_a, dev_a, n, jax.random.PRNGKey(1), np.random.RandomState(5)
+    )
+    val_a = tr_a.validate(state_a, dev_a, n)
+    path = str(tmp_path / "sharded.msgpack")
+    ckpt.save_checkpoint(path, state_a)
+    saved = ckpt.bulk_device_get(
+        {"params": state_a.params, "batch_stats": state_a.batch_stats,
+         "opt_state": state_a.opt_state, "step": state_a.step}
+    )
+
+    # (a) single-device restore.
+    tr_1 = SiameseTrainer(cfg, augment=False)
+    state_1 = ckpt.restore_checkpoint(
+        path, tr_1.init_state(jax.random.PRNGKey(7), (16, 16))
+    )
+    for key in ("params", "batch_stats", "opt_state", "step"):
+        _assert_trees_bitwise_equal(
+            getattr(state_1, key), saved[key], f"single-device {key}")
+    dev_1 = tuple(jax.device_put(a) for a in ds)
+    assert tr_1.validate(state_1, dev_1, n) == pytest.approx(val_a, rel=2e-3)
+
+    # (b) restore under a DIFFERENT (4,1,1) topology (4 of the 8 devices).
+    mesh_b = make_mesh(4, axis_names=("data", "spatial", "model"),
+                       shape=(4, 1, 1))
+    tr_b = SiameseTrainer(cfg, mesh=mesh_b, augment=False)
+    state_b = ckpt.restore_checkpoint(
+        path, tr_b.init_state(jax.random.PRNGKey(9), (16, 16))
+    )
+    for key in ("params", "batch_stats", "opt_state", "step"):
+        _assert_trees_bitwise_equal(
+            getattr(state_b, key), saved[key], f"(4,1,1) {key}")
+    # Re-place like init_state does and prove the state is live under the
+    # new topology.
+    state_b = jax.device_put(state_b, param_shardings(mesh_b, state_b))
+    dev_b = put_dataset_global(mesh_b, *ds)
+    assert tr_b.validate(state_b, dev_b, n) == pytest.approx(val_a, rel=2e-3)
+
+
+@pytest.mark.slow
+def test_sharded_gan_checkpoint_portable_to_single_device(tmp_path):
+    """Same portability contract for the GAN pair: generator+discriminator
+    states saved under a (2,2,2) mesh restore bitwise-identically into
+    single-device templates."""
+    from gan_aug_pfa_tpu import checkpoint as ckpt
+    from gan_aug_pfa_tpu.config import GANTrainConfig
+    from gan_aug_pfa_tpu.train import GANTrainer
+
+    cfg = GANTrainConfig(batch_size=2, compute_dtype="float32",
+                         target_size=(128, 128))
+    mesh = make_mesh(8, axis_names=("data", "spatial", "model"),
+                     shape=(2, 2, 2))
+    gan_a = GANTrainer(cfg, mesh=mesh)
+    sg_a, sd_a = gan_a.init_states(jax.random.PRNGKey(2))
+    r = np.random.RandomState(3)
+    g1 = jnp.asarray(r.rand(2, 128, 128, 3).astype(np.float32))
+    g2 = jnp.asarray(r.rand(2, 128, 128, 3).astype(np.float32))
+    rep = replicate_sharding(mesh)
+    sg_a, sd_a, _, _ = gan_a._gan_step(
+        sg_a, sd_a, jax.device_put(g1, rep), jax.device_put(g2, rep),
+        gan_a._put_idx(np.arange(2)),
+    )
+    pg, pd = str(tmp_path / "g.msgpack"), str(tmp_path / "d.msgpack")
+    ckpt.save_checkpoint(pg, sg_a)
+    ckpt.save_checkpoint(pd, sd_a)
+    saved_g = ckpt.bulk_device_get(
+        {"params": sg_a.params, "opt_state": sg_a.opt_state,
+         "step": sg_a.step})
+    saved_d = ckpt.bulk_device_get(
+        {"params": sd_a.params, "opt_state": sd_a.opt_state,
+         "step": sd_a.step})
+
+    gan_1 = GANTrainer(cfg)
+    sg_1, sd_1 = gan_1.init_states(jax.random.PRNGKey(11))
+    sg_1 = ckpt.restore_checkpoint(pg, sg_1)
+    sd_1 = ckpt.restore_checkpoint(pd, sd_1)
+    for key in ("params", "opt_state", "step"):
+        _assert_trees_bitwise_equal(
+            getattr(sg_1, key), saved_g[key], f"generator {key}")
+        _assert_trees_bitwise_equal(
+            getattr(sd_1, key), saved_d[key], f"discriminator {key}")
+
+
 @pytest.mark.slow
 def test_siamese_eval_loss_spatial_mesh_equivalence():
     """The trainer's eval loss under a ('data','spatial') mesh (batch AND

@@ -480,3 +480,118 @@ def test_siamese_training_early_stop(synthetic_corpus):
         payload = serialization.msgpack_restore(f.read())
     assert int(payload["extra"]["epoch"]) == n_ran
     assert int(payload["extra"]["early_stop"]["num_bad_epochs"]) >= 1
+
+
+def test_generate_synthetic_via_serving_artifact(synthetic_corpus, tmp_path):
+    """[extension] generate_synthetic_data --serving-artifact: the
+    pre-exported generator artifact path produces the same synthetic PNGs
+    (≤1 uint8 LSB — separate XLA programs, same f32 math) as the
+    checkpoint path, without restoring any checkpoint."""
+    import jax
+
+    from gan_aug_pfa_tpu import checkpoint as ckpt
+    from gan_aug_pfa_tpu import serve
+
+    workdir, _ = synthetic_corpus
+    gen_path = os.path.join(
+        workdir, "gan_checkpoints", "generator_epoch_2.msgpack"
+    )
+    model = serve._build_model("generator", 3, "float32")
+    dummy = np.zeros((1, *GAN_SIZE, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, train=False)
+    variables = ckpt.restore_model_only(gen_path, variables)
+    exported = serve.export_model(
+        "generator", variables, *GAN_SIZE, compute_dtype="float32"
+    )
+    art = str(tmp_path / "generator.ghlo")
+    serve.save_artifact(art, exported, {"arch": "generator"})
+
+    n = pipelines.run_generate_synthetic(
+        DataConfig(root_dir=workdir, target_size=GAN_SIZE),
+        GenerateConfig(
+            target_size=GAN_SIZE, serving_artifact=art,
+            synthetic_data_dir="synthetic_data_served",
+        ),
+        verbose=False,
+    )
+    assert n == 5
+    base_ckpt = os.path.join(workdir, "synthetic_data")
+    base_art = os.path.join(workdir, "synthetic_data_served")
+    img2s = sorted(glob.glob(
+        os.path.join(base_ckpt, "images", "*", "img2_synth_*.png")
+    ))
+    assert len(img2s) == 5
+    for p_ckpt in img2s:
+        p_art = p_ckpt.replace(base_ckpt, base_art)
+        a = np.asarray(Image.open(p_ckpt), np.int16)
+        b = np.asarray(Image.open(p_art), np.int16)
+        assert np.abs(a - b).max() <= 1
+    # img1/labels don't go through the model at all: byte-identical.
+    for pat in ("images/*/img1_synth_*.png", "labels/*/cm_synth_*.png"):
+        for p_ckpt in sorted(glob.glob(os.path.join(base_ckpt, pat))):
+            p_art = p_ckpt.replace(base_ckpt, base_art)
+            with open(p_ckpt, "rb") as f1, open(p_art, "rb") as f2:
+                assert f1.read() == f2.read()
+
+
+def test_evaluation_via_serving_artifact(siamese_run, tmp_path):
+    """[extension] evaluate --serving-artifact: metrics match the
+    checkpoint path on the same data (the exported fn is
+    sigmoid(model(normalize(img1), normalize(img2)))."""
+    import jax
+
+    from gan_aug_pfa_tpu import checkpoint as ckpt
+    from gan_aug_pfa_tpu import serve
+
+    workdir, _ = siamese_run
+    ckpt_path = os.path.join(
+        workdir, "siamese_checkpoints", "best_model.msgpack"
+    )
+    model = serve._build_model("siamese", 3, "float32")
+    dummy = np.zeros((1, *SIA_SIZE, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, dummy, train=False)
+    variables = ckpt.restore_model_only(ckpt_path, variables)
+    exported = serve.export_model(
+        "siamese", variables, *SIA_SIZE, compute_dtype="float32"
+    )
+    art = str(tmp_path / "siamese.ghlo")
+    serve.save_artifact(art, exported, {"arch": "siamese"})
+
+    ref = pipelines.run_evaluation(
+        _data_cfg(workdir),
+        EvalConfig(target_size=SIA_SIZE, num_visualizations=0,
+                   checkpoint_path=ckpt_path, compute_dtype="float32"),
+        verbose=False,
+    )
+    json_out = str(tmp_path / "served_report.json")
+    got = pipelines.run_evaluation(
+        _data_cfg(workdir),
+        EvalConfig(target_size=SIA_SIZE, num_visualizations=0,
+                   serving_artifact=art, compute_dtype="float32",
+                   output_dir="evaluation_results_served",
+                   json_out=json_out),
+        verbose=False,
+    )
+    assert got is not None and ref is not None
+    for k in ("accuracy", "precision", "recall", "f1", "iou"):
+        assert got["overall"][k] == pytest.approx(ref["overall"][k],
+                                                  rel=1e-4)
+    # The json report must work without checkpoints (regression: it
+    # referenced the checkpoint list, unbound on the serving path).
+    import json
+
+    with open(json_out) as f:
+        assert json.load(f)["checkpoints"] == [art]
+
+
+def test_evaluation_serving_artifact_excludes_ensemble(siamese_run,
+                                                       tmp_path):
+    workdir, _ = siamese_run
+    res = pipelines.run_evaluation(
+        _data_cfg(workdir),
+        EvalConfig(target_size=SIA_SIZE,
+                   serving_artifact=str(tmp_path / "nope.ghlo"),
+                   ensemble_paths=("a", "b")),
+        verbose=False,
+    )
+    assert res is None

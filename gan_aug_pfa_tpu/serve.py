@@ -466,8 +466,16 @@ def compile_artifact(path: str, batch_sizes: Sequence[int],
 def _load_aot_sidecar(artifact_path: str):
     """Return ({batch_size: lazily-loaded compiled callable}, why) — or
     (None, why) when there is no usable sidecar.  Executables deserialize
-    on first use per batch size (deserialization is cheap; it is the XLA
-    compile that is skipped)."""
+    on first use per batch size; it is the XLA compile that is skipped.
+
+    Caveat measured on the remote-tunnel backend (RESULTS.md round-4
+    headline note): deserialize_and_load ships the serialized executable
+    (hundreds of MB for the 41M-param models) through the same backend
+    control plane as a compile, so on a degraded link loading a sidecar
+    can cost as much as the compile it avoids (210 s vs 53 s observed
+    once).  On a locally-attached device the load is a disk read and the
+    sidecar always wins; pass aot="never" to load_serving_fn to skip
+    sidecars when the link, not the compile, is the bottleneck."""
     import pickle
 
     side = aot_sidecar_path(artifact_path)

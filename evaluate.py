@@ -75,6 +75,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "checkpoint; with an AOT sidecar the evaluation "
                         "pays no XLA compile (mutually exclusive with "
                         "--ensemble)")
+    p.add_argument("--serving-aot", type=str, default="auto",
+                   choices=["auto", "never", "require"],
+                   help="[extension] AOT sidecar policy for "
+                        "--serving-artifact: auto uses a valid .aotc, "
+                        "never ignores it (on a slow remote link the "
+                        "executable upload can cost more than the compile "
+                        "it skips), require fails without one")
     p.add_argument("--compute-dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="[extension] model compute dtype for evaluation")
@@ -113,6 +120,7 @@ def main() -> None:
         threshold_sweep=args.threshold_sweep,
         json_out=args.json_out,
         serving_artifact=args.serving_artifact,
+        serving_aot=args.serving_aot,
         compute_dtype=args.compute_dtype,
     )
     from gan_aug_pfa_tpu import pipelines

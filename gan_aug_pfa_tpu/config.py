@@ -255,6 +255,11 @@ class EvalConfig:
     # of restoring a checkpoint; with an AOT sidecar (--aot-batch-sizes)
     # the evaluation pays no XLA compile at all (serve.load_serving_fn).
     serving_artifact: Optional[str] = None
+    # Sidecar policy for the artifact: "auto" uses a valid .aotc when
+    # present, "never" ignores it (on a degraded remote link the
+    # executable upload can cost more than the compile it skips —
+    # RESULTS.md round-4 headline note), "require" fails without one.
+    serving_aot: str = "auto"
     # Model compute dtype for evaluation (bfloat16 matches training's MXU
     # default; float32 for exact-reproducibility comparisons).
     compute_dtype: str = "bfloat16"
@@ -283,6 +288,8 @@ class GenerateConfig:
     # instead of restoring the checkpoint; with an AOT sidecar the synth
     # stage pays no XLA compile at all (serve.load_serving_fn).
     serving_artifact: Optional[str] = None
+    # Sidecar policy: "auto" / "never" / "require" (see EvalConfig).
+    serving_aot: str = "auto"
 
 
 def parse_target_size(value: str) -> Tuple[int, int]:

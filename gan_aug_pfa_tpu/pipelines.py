@@ -655,7 +655,9 @@ def run_generate_synthetic(
             print(f"Error: Serving artifact not found at "
                   f"{gen_cfg.serving_artifact}")
             return 0
-        header, serve_fn = serve.load_serving_fn(gen_cfg.serving_artifact)
+        header, serve_fn = serve.load_serving_fn(
+            gen_cfg.serving_artifact, aot=gen_cfg.serving_aot
+        )
         if verbose and header.get("aot_batch_sizes"):
             print(f"  AOT sidecar batch sizes: {header['aot_batch_sizes']}")
         trainer = sg = None
@@ -812,7 +814,9 @@ def run_evaluation(
             print(f"Error: Serving artifact not found at "
                   f"{eval_cfg.serving_artifact}")
             return None
-        header, serve_fn = serve.load_serving_fn(eval_cfg.serving_artifact)
+        header, serve_fn = serve.load_serving_fn(
+            eval_cfg.serving_artifact, aot=eval_cfg.serving_aot
+        )
         if verbose:
             print(f"Serving artifact: {eval_cfg.serving_artifact} "
                   f"(aot={header.get('aot_batch_sizes', 'none')})")

@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "checkpoint; with an AOT sidecar "
                         "(--aot-batch-sizes) this stage pays no XLA "
                         "compile")
+    p.add_argument("--serving-aot", type=str, default="auto",
+                   choices=["auto", "never", "require"],
+                   help="[extension] AOT sidecar policy for "
+                        "--serving-artifact: auto uses a valid .aotc, "
+                        "never ignores it (on a slow remote link the "
+                        "executable upload can cost more than the compile "
+                        "it skips), require fails without one")
     return p
 
 
@@ -84,6 +91,7 @@ def main() -> None:
         ngf=args.ngf,
         compute_dtype=args.compute_dtype,
         serving_artifact=args.serving_artifact,
+        serving_aot=args.serving_aot,
     )
     from gan_aug_pfa_tpu.pipelines import run_generate_synthetic
 

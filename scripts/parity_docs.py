@@ -165,9 +165,34 @@ def write_md(path: str) -> None:
         if not m:
             sys.exit(f"marker AUTOGEN:{name} not found in {path}")
         text = text[:m.start(2)] + fn() + text[m.end(2):]
+    text = _fix_counts(text)
     with open(path, "w") as f:
         f.write(text)
     print(f"wrote {len(BLOCKS)} AUTOGEN blocks into {path}")
+    cov = os.path.join(REPO, "COVERAGE.md")
+    ctext = _fix_counts(open(cov).read())
+    with open(cov, "w") as f:
+        f.write(ctext)
+
+
+def _fix_counts(text: str) -> str:
+    """Rewrite the prose 'NN completed shared-init seed pairs' literals
+    (and the (10 + 20 + K) breakdown) to match the artifacts."""
+    want = combined_count()
+    text = re.sub(r"\d+( completed shared-init(?: 50-epoch)? seed\s*\n?pairs)",
+                  lambda m: f"{want}{m.group(1)}", text)
+    ns = {k: len(load(k)) for k in ART}
+    text = text.replace(
+        *_breakdown_old_new(text, ns)) if _breakdown_old_new(text, ns) else text
+    return text
+
+
+def _breakdown_old_new(text, ns):
+    m = re.search(r"\(\d+ \+ \d+ \+ \d+; §1b-r4 grows", text)
+    if not m:
+        return None
+    return (m.group(0),
+            f"({ns['1b']} + {ns['1b-r3']} + {ns['1b-r4']}; §1b-r4 grows")
 
 
 def check() -> list:

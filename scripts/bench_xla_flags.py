@@ -4,12 +4,13 @@
 consumer in the round-3 floor analysis, RESULTS.md "Round 3: why 10.3
 ms/step is the bs=4 floor").
 
-Each arm runs in a FRESH subprocess (XLA_FLAGS is read once at backend
-init) and measures the production `_train_epoch_scan` program exactly the
-way bench.py does: one whole-epoch lax.scan dispatch + one scalar
-readback, min over repeats — robust to tunnel RTT and host load.  The
-persistent compile cache keys on the flag set, so arms don't poison each
-other.
+Each arm runs in a FRESH subprocess and measures the production
+`_train_epoch_scan` program exactly the way bench.py does: one
+whole-epoch lax.scan dispatch + one scalar readback, min over repeats —
+robust to tunnel RTT and host load.  Arms inject their flag set as PJRT
+per-compile compiler_options (see the ARMS comment: env XLA_FLAGS cannot
+carry TPU flags through the axon tunnel), compiled fresh via
+.lower().compile() with no persistent cache.
 
 Usage:
   python scripts/bench_xla_flags.py            # run all arms, print table
@@ -24,17 +25,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Candidate flag sets.  Comments say the hypothesis being tested; results
 # are recorded in RESULTS.md regardless of sign.
+# Round-5 finding: env-var XLA_FLAGS cannot carry TPU flags through the
+# axon tunnel (the LOCAL parser rejects them: "Unknown flag in XLA_FLAGS"
+# — artifacts/xla_flags_r05.log) because the TPU compiler runs server-side.
+# Per-compile PJRT compiler_options DO reach it (a bogus option errors
+# server-side, a real one compiles), so each arm is a compiler_options
+# dict applied via .lower().compile(...).
 ARMS = [
-    ("baseline", ""),
+    ("baseline", {}),
     # Overlap HBM loads of the next conv with current compute; helps when
     # the bottleneck is scheduling rather than raw MXU occupancy.
-    ("latency-hiding", "--xla_tpu_enable_latency_hiding_scheduler=true"),
+    ("latency-hiding",
+     {"xla_tpu_enable_latency_hiding_scheduler": "true"}),
     # Double the scoped VMEM budget: larger conv tiles -> better MXU
     # utilization for the backward filter pass at small batch.
-    ("vmem-128M", "--xla_tpu_scoped_vmem_limit_kib=131072"),
+    ("vmem-128M", {"xla_tpu_scoped_vmem_limit_kib": "131072"}),
     # Both together.
-    ("lhs+vmem", "--xla_tpu_enable_latency_hiding_scheduler=true "
-                 "--xla_tpu_scoped_vmem_limit_kib=131072"),
+    ("lhs+vmem", {"xla_tpu_enable_latency_hiding_scheduler": "true",
+                  "xla_tpu_scoped_vmem_limit_kib": "131072"}),
 ]
 
 
@@ -48,9 +56,10 @@ def child(steps: int) -> None:
 
     from gan_aug_pfa_tpu.config import SiameseTrainConfig
     from gan_aug_pfa_tpu.train import SiameseTrainer
-    from gan_aug_pfa_tpu.utils.compile_cache import enable_compile_cache
 
-    enable_compile_cache()
+    # No persistent compile cache here: every arm must compile fresh with
+    # its own compiler_options.
+    options = json.loads(os.environ.get("BENCH_COMPILER_OPTIONS", "{}"))
     size, bs = 128, 4
     cfg = SiameseTrainConfig(batch_size=bs, compute_dtype="bfloat16",
                              batched_encoder=True)
@@ -71,13 +80,16 @@ def child(steps: int) -> None:
     keys = jax.random.split(jax.random.PRNGKey(1), steps)
 
     t_c0 = time.perf_counter()
+    # .lower on the instance-bound jit wrapper does not re-bind self, so
+    # go through the class attribute with trainer as the (static) arg 0.
+    compiled = type(trainer)._train_epoch_scan.lower(
+        trainer, state, ds1, ds2, dsl, idx_mat, keys
+    ).compile(compiler_options=options or None)
     dts = []
     st = state  # threaded: the production scan donates its input buffers
     for rep in range(5):
         t0 = time.perf_counter()
-        st, losses = trainer._train_epoch_scan(
-            st, ds1, ds2, dsl, idx_mat, keys
-        )
+        st, losses = compiled(st, ds1, ds2, dsl, idx_mat, keys)
         float(losses[-1])
         if rep == 0:
             compile_s = time.perf_counter() - t_c0
@@ -97,8 +109,7 @@ def main() -> None:
     results = []
     for name, flags in ARMS:
         env = dict(os.environ)
-        if flags:
-            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
+        env["BENCH_COMPILER_OPTIONS"] = json.dumps(flags)
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child", str(steps)],

@@ -15,6 +15,14 @@ unreliable through the axon tunnel), so numbers reflect pipeline
 throughput, not per-step round-trips.
 
   python scripts/bench_stream.py [--n 64] [--steps 96] [--batch-size 4]
+
+At-scale mode (VERDICT r4 item 9 — the depth-bounded memory claim with a
+corpus whose DECODED footprint exceeds device HBM): persist the corpus
+with --root, pick one mode per process with --mode so the reported peak
+RSS (VmHWM) is attributable, e.g.
+
+  python scripts/bench_stream.py --root /tmp/stream_corpus --n 10000 \
+      --size 256 --steps 200 --mode decode
 """
 
 import argparse
@@ -64,6 +72,13 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--root", type=str, default=None,
+                    help="persistent corpus dir (reused if populated) "
+                    "instead of a tempdir")
+    ap.add_argument("--mode", choices=["all", "resident", "host", "decode"],
+                    default="all",
+                    help="run one mode per process so peak RSS (VmHWM) "
+                    "is attributable to it")
     args = ap.parse_args()
 
     import numpy as np
@@ -80,8 +95,31 @@ def main() -> None:
     size = (args.size, args.size)
     bs = args.batch_size
 
-    with tempfile.TemporaryDirectory() as root:
-        samples = _write_corpus(root, args.n, args.size)
+    import contextlib
+
+    if args.root:
+        os.makedirs(args.root, exist_ok=True)
+        ctx = contextlib.nullcontext(args.root)
+    else:
+        ctx = tempfile.TemporaryDirectory()
+    with ctx as root:
+        marker = os.path.join(root, f".corpus_{args.n}_{args.size}")
+        if os.path.exists(marker):
+            from gan_aug_pfa_tpu.data.scanner import Sample
+
+            samples = [
+                Sample(city=f"c{i:05d}",
+                       img1=os.path.join(root, f"c{i:05d}", "img1.png"),
+                       img2=os.path.join(root, f"c{i:05d}", "img2.png"),
+                       label=os.path.join(root, f"c{i:05d}", "cm.png"))
+                for i in range(args.n)
+            ]
+        else:
+            t0 = time.perf_counter()
+            samples = _write_corpus(root, args.n, args.size)
+            open(marker, "w").close()
+            print(f"# corpus written in {time.perf_counter()-t0:.0f}s",
+                  file=sys.stderr)
 
         def make():
             cfg = SiameseTrainConfig(
@@ -98,22 +136,29 @@ def main() -> None:
         )[: args.steps * bs]
         batches = [perm[s:s + bs] for s in range(0, args.steps * bs, bs)]
         results = {}
+        modes = (("resident", "host", "decode") if args.mode == "all"
+                 else (args.mode,))
 
         # resident: whole-epoch scan, one dispatch, one sync.
-        tr, state = make()
-        ds = build_cached_dataset(samples, size, verbose=False)
-        dev = tr._device_arrays(ds)
-        idx_mat = jnp.asarray(np.stack(batches), dtype=jnp.int32)
-        keys = jax.random.split(jax.random.PRNGKey(1), args.steps)
-        dts = []
-        for _ in range(args.reps + 1):
-            t0 = time.perf_counter()
-            state, losses = tr._train_epoch_scan(state, *dev, idx_mat, keys)
-            float(losses[-1])
-            dts.append(time.perf_counter() - t0)
-        results["resident"] = min(dts[1:])
+        if "resident" in modes:
+            tr, state = make()
+            ds = build_cached_dataset(samples, size, verbose=False)
+            dev = tr._device_arrays(ds)
+            idx_mat = jnp.asarray(np.stack(batches), dtype=jnp.int32)
+            keys = jax.random.split(jax.random.PRNGKey(1), args.steps)
+            dts = []
+            for _ in range(args.reps + 1):
+                t0 = time.perf_counter()
+                state, losses = tr._train_epoch_scan(
+                    state, *dev, idx_mat, keys
+                )
+                float(losses[-1])
+                dts.append(time.perf_counter() - t0)
+            results["resident"] = min(dts[1:])
 
         for mode in ("host", "decode"):
+            if mode not in modes:
+                continue
             tr, state = make()
             src = StreamingSource(samples, size, cache=mode, verbose=False)
             key = jax.random.PRNGKey(1)
@@ -131,7 +176,23 @@ def main() -> None:
             src.close()
             results[mode] = min(dts[1:])
 
-    out = {"steps": args.steps, "batch_size": bs, "size": args.size}
+    decoded_bytes_per_sample = (
+        2 * args.size * args.size * 3 * 4 + args.size * args.size * 4
+    )
+    out = {"steps": args.steps, "batch_size": bs, "size": args.size,
+           "n": args.n,
+           "corpus_decoded_gb": round(
+               args.n * decoded_bytes_per_sample / 1e9, 2)}
+    # Peak RSS of THIS process (VmHWM): with --mode the number is
+    # attributable to the single mode that ran.
+    try:
+        with open("/proc/self/status") as f:
+            for ln in f:
+                if ln.startswith("VmHWM"):
+                    out["peak_rss_gb"] = round(
+                        int(ln.split()[1]) / 1e6, 2)
+    except OSError:
+        pass
     for mode, dt in results.items():
         out[f"{mode}_ms_per_step"] = round(dt / args.steps * 1e3, 3)
         out[f"{mode}_img_per_sec"] = round(args.steps * bs / dt, 1)

@@ -108,10 +108,10 @@ def main() -> None:
             from gan_aug_pfa_tpu.data.scanner import Sample
 
             samples = [
-                Sample(city=f"c{i:05d}",
-                       img1=os.path.join(root, f"c{i:05d}", "img1.png"),
-                       img2=os.path.join(root, f"c{i:05d}", "img2.png"),
-                       label=os.path.join(root, f"c{i:05d}", "cm.png"))
+                Sample(city=f"c{i:03d}",  # _write_corpus's naming
+                       img1=os.path.join(root, f"c{i:03d}", "img1.png"),
+                       img2=os.path.join(root, f"c{i:03d}", "img2.png"),
+                       label=os.path.join(root, f"c{i:03d}", "cm.png"))
                 for i in range(args.n)
             ]
         else:

@@ -66,26 +66,60 @@ def test_nan_guard_ignores_int_leaves():
 @pytest.mark.slow
 def test_pipeline_profile_integration(tmp_path):
     """run through SiameseTrainer with a timer attached — the pipeline's
-    profiling path."""
-    from gan_aug_pfa_tpu.config import SiameseTrainConfig
-    from gan_aug_pfa_tpu.train import SiameseTrainer
+    profiling path.
 
-    cfg = SiameseTrainConfig(
-        batch_size=2, compute_dtype="float32", data_parallel=False,
-        profile_dir=str(tmp_path / "prof"),
+    Runs in a FRESH interpreter: this test's per-step-jit compile
+    segfaulted deterministically at the ~155-prior-tests mark in TWO
+    independent single-process full-suite runs (2026-08-21) while
+    passing every time in a fresh process — the same jaxlib CPU-client
+    process-state bug test_parallel_trials_across_submeshes documents,
+    so it isolates itself the same way."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+        import numpy as np
+        from gan_aug_pfa_tpu.config import SiameseTrainConfig
+        from gan_aug_pfa_tpu.train import SiameseTrainer
+        from gan_aug_pfa_tpu.utils.profiling import StepTimer
+
+        cfg = SiameseTrainConfig(
+            batch_size=2, compute_dtype="float32", data_parallel=False,
+            profile_dir={str(tmp_path / "prof")!r},
+        )
+        trainer = SiameseTrainer(cfg)
+        trainer.step_timer = StepTimer(items_per_step=2)
+        state = trainer.init_state(jax.random.PRNGKey(0), (16, 16))
+        rng = np.random.RandomState(0)
+        ds = (
+            jnp.asarray(rng.rand(4, 16, 16, 3).astype(np.float32)),
+            jnp.asarray(rng.rand(4, 16, 16, 3).astype(np.float32)),
+            jnp.asarray((rng.rand(4, 16, 16) > 0.8).astype(np.int32)),
+        )
+        state, loss = trainer.train_epoch(
+            state, ds, 4, jax.random.PRNGKey(1), np.random.RandomState(1)
+        )
+        s = trainer.step_timer.summary()
+        assert s["steps"] + len(trainer.step_timer.warmup_times) == 2
+        assert np.isfinite(loss)
+        print("PROF_OK")
+        """
     )
-    trainer = SiameseTrainer(cfg)
-    trainer.step_timer = StepTimer(items_per_step=2)
-    state = trainer.init_state(jax.random.PRNGKey(0), (16, 16))
-    rng = np.random.RandomState(0)
-    ds = (
-        jnp.asarray(rng.rand(4, 16, 16, 3).astype(np.float32)),
-        jnp.asarray(rng.rand(4, 16, 16, 3).astype(np.float32)),
-        jnp.asarray((rng.rand(4, 16, 16) > 0.8).astype(np.int32)),
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [os.path.dirname(os.path.dirname(__file__)),
+                    env.get("PYTHONPATH", "")] if p
     )
-    state, loss = trainer.train_epoch(
-        state, ds, 4, jax.random.PRNGKey(1), np.random.RandomState(1)
+    r = subprocess.run(
+        [sys.executable, "-c", script], env=env,
+        capture_output=True, text=True, timeout=900,
     )
-    s = trainer.step_timer.summary()
-    assert s["steps"] + len(trainer.step_timer.warmup_times) == 2
-    assert np.isfinite(loss)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "PROF_OK" in r.stdout
